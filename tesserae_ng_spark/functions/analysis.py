@@ -1,0 +1,101 @@
+"""Tokenizer + analyzer chain (SURVEY.md §2.8).
+
+Chain shape mirrors tesserae-ng's Solr ``text_la`` analyzer
+(tokenizer → lowercase → custom lemma/stem filter; SURVEY.md §2.8):
+
+    text --lowercase--> split on ``[^a-z0-9]+`` --> (term, pos) stream
+         --stem (Porter, lang='en'; identity otherwise)--> final terms
+
+Tokenizer spec (deterministic AND cross-engine replicable — the DuckDB
+oracle re-expresses it as ``regexp_split_to_array(lower(text),
+'[^a-z0-9]+')``, Spark as ``split(lower(text), '[^a-z0-9]+')``):
+tokens are maximal runs of ASCII ``[a-z0-9]`` over the lowercased text;
+every other character (incl. non-ASCII) is a separator. Positions are
+0-based token ordinals (Lucene position semantics — phrase adjacency is
+``pos2 == pos1 + 1``).
+
+Both a pure-Python path (query analysis, in-process, no Spark) and an
+Arrow-vectorized pandas UDF path (bulk indexing) are provided; they are
+the SAME function, so index terms and query terms always agree.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tesserae_ng_spark.functions.stemmer import porter_stem
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+TOKEN_STRUCT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("pos", T.IntegerType(), False),
+        ]
+    )
+)
+
+
+def tokenize(text: str | None) -> list[tuple[str, int]]:
+    """Lowercase + split; returns [(term, position), ...]."""
+    if not text:
+        return []
+    return [(m.group(0), i) for i, m in enumerate(_TOKEN_RE.finditer(text.lower()))]
+
+
+def analyze(text: str | None, lang: str | None = "en", *, _memo: dict | None = None) -> list[tuple[str, int]]:
+    """Full chain: tokenize then stem (Porter iff lang == 'en').
+
+    ``_memo`` lets batch callers share a term→stem cache across rows —
+    Zipf distribution means the cache hit rate is very high.
+    """
+    toks = tokenize(text)
+    if lang != "en" or not toks:
+        return toks
+    memo = _memo if _memo is not None else {}
+    out = []
+    for term, pos in toks:
+        s = memo.get(term)
+        if s is None:
+            s = porter_stem(term)
+            memo[term] = s
+        out.append((s, pos))
+    return out
+
+
+def analyze_query(query_text: str, lang: str = "en") -> list[str]:
+    """Query-side analysis: same chain, terms only (order preserved)."""
+    return [t for t, _ in analyze(query_text, lang)]
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized UDFs (bulk indexing path). Per-batch stem memo exploits
+# the Zipf head: one porter_stem call per distinct term per Arrow batch.
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(TOKEN_STRUCT)
+def tokenize_udf(text: pd.Series) -> pd.Series:
+    return text.map(tokenize)
+
+
+def analyze_udf_factory():
+    """Build the (text, lang) → tokens UDF. Factory so each Spark plan gets
+    a fresh closure (the memo dict lives per-executor-batch)."""
+
+    @F.pandas_udf(TOKEN_STRUCT)
+    def _analyze(text: pd.Series, lang: pd.Series) -> pd.Series:
+        memo: dict[str, str] = {}
+        return pd.Series(
+            [analyze(t, lg, _memo=memo) for t, lg in zip(text, lang)]
+        )
+
+    return _analyze
+
+
+analyze_udf = analyze_udf_factory()

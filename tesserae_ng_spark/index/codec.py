@@ -1,0 +1,129 @@
+"""Postings block codec: delta + varint (LEB128), numpy-vectorized.
+
+Lucene-analog block postings (SURVEY.md §2.11 `block_encode`; Ding & Suel,
+SIGIR'11 block-max metadata): 128 docs per block, per-block
+(first_doc, last_doc, max_score, n_docs) metadata enabling block skipping
+in block-max WAND.
+
+Layout per block (each field its own BinaryType column — columnar at rest):
+  doc_ids  : varint( order-preserving-u64(doc_id[0]),
+                     delta_1, delta_2, ... )     # strictly positive deltas
+  tfs      : varint(tf_i)
+  dls      : varint(dl_i)                         # exact doc length (BM25)
+  positions: per doc: varint(pos_0, gap_1, ...)   # tf_i values per doc,
+             concatenated in doc order (split by tfs at decode)
+
+doc_ids are int64 (xxhash64 output, may be negative); an XOR with the sign
+bit maps them to order-preserving uint64 so deltas of the sorted list are
+positive. All encode/decode paths are numpy-vectorized — no per-value
+Python in the hot loop beyond ≤10 masked passes (max varint length).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SIGN = np.uint64(1) << np.uint64(63)
+
+
+def to_u64(v: np.ndarray) -> np.ndarray:
+    """Order-preserving int64 → uint64 (flip sign bit)."""
+    return v.astype(np.int64).view(np.uint64) ^ _SIGN
+
+
+def from_u64(u: np.ndarray) -> np.ndarray:
+    return (u ^ _SIGN).view(np.int64)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """uint64 array → LEB128 bytes (high bit = continuation)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    lengths = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        lengths += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    offsets = np.cumsum(lengths) - lengths
+    out = np.zeros(int(lengths.sum()), dtype=np.uint8)
+    for b in range(int(lengths.max())):
+        mask = lengths > b
+        byte = ((v[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (lengths[mask] > b + 1).astype(np.uint8) << 7
+        out[offsets[mask] + b] = byte | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:
+    """LEB128 bytes → uint64 array."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (arr & 0x80) == 0
+    ends = np.nonzero(is_end)[0]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    within = np.arange(arr.size, dtype=np.int64) - np.repeat(starts, lens)
+    payload = (arr & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * within.astype(np.uint64)
+    )
+    return np.add.reduceat(payload, starts)
+
+
+def delta_encode_ids(doc_ids: np.ndarray) -> bytes:
+    """Sorted (strictly increasing) int64 doc ids → delta varint bytes."""
+    u = to_u64(np.asarray(doc_ids, dtype=np.int64))
+    if u.size == 0:
+        return b""
+    d = np.empty_like(u)
+    d[0] = u[0]
+    d[1:] = u[1:] - u[:-1]
+    return varint_encode(d)
+
+
+def delta_decode_ids(buf: bytes) -> np.ndarray:
+    d = varint_decode(buf)
+    if d.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return from_u64(np.cumsum(d, dtype=np.uint64))
+
+
+def encode_positions(positions_per_doc: list, tfs: np.ndarray) -> bytes:
+    """Per-doc sorted position lists → concatenated delta varints.
+
+    len(positions_per_doc[i]) must equal tfs[i]; decode splits by tfs.
+    """
+    if not positions_per_doc:
+        return b""
+    flat = np.concatenate(
+        [np.asarray(p, dtype=np.int64) for p in positions_per_doc]
+    ).astype(np.uint64)
+    if flat.size == 0:
+        return b""
+    # delta within each doc: subtract previous position, but reset at doc
+    # boundaries (first position of each doc encoded absolute)
+    deltas = flat.copy()
+    deltas[1:] = flat[1:] - flat[:-1]
+    starts = np.cumsum(np.asarray(tfs, dtype=np.int64)) - np.asarray(tfs, dtype=np.int64)
+    deltas[starts] = flat[starts]
+    return varint_encode(deltas)
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """→ list of per-doc position arrays (int32)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if len(buf) == 0:
+        return [np.empty(0, dtype=np.int32) for _ in range(tfs.size)]
+    d = varint_decode(buf).astype(np.int64)
+    starts = np.cumsum(tfs) - tfs
+    # undo per-doc delta: cumsum within segments = global cumsum minus the
+    # carried-over base at each segment start
+    glob = np.cumsum(d)
+    base = np.zeros(d.size, dtype=np.int64)
+    seg_base = glob[starts] - d[starts]  # cumulative sum before each segment
+    base = np.repeat(seg_base, tfs)
+    vals = (glob - base).astype(np.int32)
+    return [vals[s : s + t] for s, t in zip(starts, tfs)]

@@ -1,0 +1,70 @@
+"""Property tests for the postings codec (SURVEY.md §5.2)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tesserae_ng_spark.index.codec import (
+    decode_positions,
+    delta_decode_ids,
+    delta_encode_ids,
+    encode_positions,
+    to_u64,
+    from_u64,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(xs):
+    arr = np.array(xs, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(arr)), arr)
+
+
+@given(
+    st.sets(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=0, max_size=400
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_delta_ids_roundtrip(ids):
+    arr = np.array(sorted(ids), dtype=np.int64)
+    assert np.array_equal(delta_decode_ids(delta_encode_ids(arr)), arr)
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_u64_mapping_roundtrip(x):
+    a = np.array([x], dtype=np.int64)
+    assert from_u64(to_u64(a))[0] == x
+
+
+def test_u64_order_preserving():
+    xs = np.array([-(2**63), -5, -1, 0, 1, 7, 2**63 - 1], dtype=np.int64)
+    u = to_u64(xs)
+    assert np.all(u[1:] > u[:-1])
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=100000), min_size=1, max_size=30),
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_positions_roundtrip(pos_lists):
+    pos_lists = [sorted(set(p)) or [0] for p in pos_lists]
+    tfs = np.array([len(p) for p in pos_lists], dtype=np.int64)
+    buf = encode_positions(pos_lists, tfs)
+    out = decode_positions(buf, tfs)
+    assert len(out) == len(pos_lists)
+    for got, want in zip(out, pos_lists):
+        assert got.tolist() == want
+
+
+def test_empty_everything():
+    assert varint_encode(np.empty(0, dtype=np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+    assert delta_decode_ids(b"").size == 0
+    assert encode_positions([], np.empty(0)) == b""
