@@ -1,0 +1,240 @@
+"""Index build orchestration: resumable shard builds + salted merge.
+
+Layout under ``out_dir``:
+    shards/postings/part=i/   stage-A block rows (tf/dl, unscored)
+    shards/docs/part=i/       (doc_id, url, lang, dl) per shard
+    manifests/part-i.json     per-partition lineage (status/metrics/checksum)
+    postings/bucket=b/        final scored blocks (partitioned by term bucket)
+    dictionary/               term → df/cf/max_score/n_blocks/bucket
+    docs/                     consolidated docs table
+    stats.json                corpus stats + build metrics
+    manifests/merge.json      stage-B lineage
+
+Stage A partitions the corpus by ``pmod(xxhash64(url), n_parts)`` — one
+Spark job per partition, each independently resumable. Because a url maps
+to exactly one partition, the as-of latest-crawl dedupe inside a partition
+IS the global dedupe, and each (term, doc) pair lands in exactly one shard
+(df/cf from block metadata is exact).
+
+Scale note: on a real Iceberg corpus the partition predicate would be the
+table's own partitioning (crawl date / bucket(url)) so each stage-A job
+scans only its slice of manifests instead of hash-filtering a full scan;
+the orchestration, manifests, and merge are unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tesserae_ng_spark.index.build import (
+    docs_table,
+    prepare_docs,
+    term_doc_table,
+    tokens_stream,
+)
+from tesserae_ng_spark.index.encode import encode_shard_blocks
+from tesserae_ng_spark.index.manifest import (
+    all_manifests,
+    partition_done,
+    write_manifest,
+)
+from tesserae_ng_spark.index.merge import build_dictionary, merge_shard_blocks
+from tesserae_ng_spark.schemas import BLOCK_SIZE
+from tesserae_ng_spark.sources.corpus import load_corpus
+
+
+@dataclass
+class BuildResult:
+    out_dir: str
+    n_docs: int
+    avg_dl: float
+    total_tokens: int
+    n_terms: int
+    n_blocks: int
+    built_parts: list[int]
+    skipped_parts: list[int]
+    wall_s: float
+
+
+def _fingerprint(source_desc: str, n_parts: int, part: int, lang: str | None) -> str:
+    return f"{source_desc}|P={n_parts}|part={part}|lang={lang}"
+
+
+def build_index(
+    spark: SparkSession,
+    source,
+    out_dir: str,
+    n_parts: int = 4,
+    lang: str | None = None,
+    use_stored_text: bool = False,
+    with_positions: bool = True,
+    target_postings_per_salt: int = 1 << 20,
+    n_buckets: int = 8,
+    block_size: int = BLOCK_SIZE,
+    resume: bool = True,
+    fail_after_part: int | None = None,  # test hook: crash mid-build
+) -> BuildResult:
+    """Build (or resume) the full index. ``source`` = str for load_corpus
+    or a ready corpus DataFrame."""
+    t_start = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    if isinstance(source, str):
+        corpus = load_corpus(spark, source)
+        source_desc = source
+    else:
+        corpus = source
+        source_desc = "dataframe"
+
+    built, skipped = [], []
+    for part in range(n_parts):
+        fp = _fingerprint(source_desc, n_parts, part, lang)
+        if resume and partition_done(out_dir, part, fp):
+            skipped.append(part)
+            continue
+        _build_partition(
+            spark, corpus, out_dir, part, n_parts, fp, lang,
+            use_stored_text, with_positions, block_size,
+        )
+        built.append(part)
+        if fail_after_part is not None and part >= fail_after_part:
+            raise RuntimeError(f"injected failure after partition {part}")
+
+    result = _merge_all(
+        spark, out_dir, target_postings_per_salt, n_buckets, block_size
+    )
+    result.built_parts = built
+    result.skipped_parts = skipped
+    result.wall_s = time.time() - t_start
+    return result
+
+
+def _build_partition(
+    spark, corpus: DataFrame, out_dir: str, part: int, n_parts: int,
+    fingerprint: str, lang, use_stored_text, with_positions, block_size,
+) -> None:
+    t0 = time.time()
+    corpus_i = corpus.filter(F.pmod(F.xxhash64("url"), F.lit(n_parts)) == part)
+    prepared = prepare_docs(corpus_i, lang=lang, use_stored_text=use_stored_text)
+    prepared = prepared.persist()
+    docs = docs_table(prepared)
+    docs_path = f"{out_dir}/shards/docs/part={part}"
+    docs.write.mode("overwrite").parquet(docs_path)
+
+    td = term_doc_table(tokens_stream(prepared))
+    if not with_positions:
+        td = td.withColumn("positions", F.lit(None).cast("array<int>"))
+    docs_dl = spark.read.parquet(docs_path).select("doc_id", "dl")
+    td_dl = td.join(docs_dl, "doc_id")
+    blocks = encode_shard_blocks(td_dl, block_size)
+    blocks_path = f"{out_dir}/shards/postings/part={part}"
+    blocks.write.mode("overwrite").parquet(blocks_path)
+    prepared.unpersist()
+
+    # metrics + checksum from the written data (read-back = what the merge
+    # will actually consume)
+    written = spark.read.parquet(blocks_path)
+    docs_written = spark.read.parquet(docs_path)
+    agg = written.agg(
+        F.count("*").alias("blocks"),
+        F.countDistinct("term").alias("terms"),
+        F.sum(F.crc32(F.col("doc_ids"))).alias("crc"),
+    ).collect()[0]
+    stats = docs_written.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("tokens")
+    ).collect()[0]
+    write_manifest(
+        out_dir,
+        part,
+        {
+            "status": "done",
+            "input_fingerprint": fingerprint,
+            "row_count": stats["n_docs"] or 0,
+            "total_tokens": int(stats["tokens"] or 0),
+            "term_count": agg["terms"],
+            "block_count": agg["blocks"],
+            "checksum": str(agg["crc"]),
+            "wall_ms": int((time.time() - t0) * 1000),
+        },
+    )
+
+
+def _merge_all(
+    spark, out_dir: str, target_postings_per_salt: int, n_buckets: int,
+    block_size: int,
+) -> BuildResult:
+    manifests = [
+        m
+        for m in all_manifests(out_dir)
+        if m.get("status") == "done" and m.get("stage") != "merge"
+    ]
+    n_docs = sum(m["row_count"] for m in manifests)
+    total_tokens = sum(m["total_tokens"] for m in manifests)
+    avg_dl = (total_tokens / n_docs) if n_docs else 0.0
+
+    shard_blocks = spark.read.parquet(f"{out_dir}/shards/postings")
+    postings = merge_shard_blocks(
+        shard_blocks,
+        n_docs=n_docs,
+        avg_dl=avg_dl,
+        target_postings_per_salt=target_postings_per_salt,
+        block_size=block_size,
+    )
+    postings = postings.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    # sort within partitions by term so parquet row-group stats prune
+    # `term IN (...)` fetches at query time
+    (
+        postings.repartition(n_buckets, "bucket")
+        .sortWithinPartitions("term", "salt", "block_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{out_dir}/postings")
+    )
+
+    final_posts = spark.read.parquet(f"{out_dir}/postings")
+    term_cf = (
+        spark.read.parquet(f"{out_dir}/shards/postings")
+        .groupBy("term")
+        .agg(F.sum("tf_sum").alias("cf"))
+    )
+    dictionary = build_dictionary(final_posts, term_cf, n_buckets)
+    dictionary.coalesce(1).sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/dictionary")
+
+    docs = spark.read.parquet(f"{out_dir}/shards/docs")
+    docs.write.mode("overwrite").parquet(f"{out_dir}/docs")
+
+    dagg = spark.read.parquet(f"{out_dir}/dictionary").agg(
+        F.count("*").alias("terms"), F.sum("n_blocks").alias("blocks")
+    ).collect()[0]
+    stats = {
+        "n_docs": n_docs,
+        "avg_dl": avg_dl,
+        "total_tokens": total_tokens,
+        "n_terms": dagg["terms"],
+        "n_blocks": int(dagg["blocks"] or 0),
+        "n_buckets": n_buckets,
+    }
+    with open(f"{out_dir}/stats.json", "w") as f:
+        json.dump(stats, f, sort_keys=True)
+    write_manifest(out_dir, 99999, {"status": "done", "stage": "merge",
+                                    "input_fingerprint": "merge", **stats})
+    return BuildResult(
+        out_dir=out_dir,
+        n_docs=n_docs,
+        avg_dl=avg_dl,
+        total_tokens=total_tokens,
+        n_terms=dagg["terms"],
+        n_blocks=int(dagg["blocks"] or 0),
+        built_parts=[],
+        skipped_parts=[],
+        wall_s=0.0,
+    )

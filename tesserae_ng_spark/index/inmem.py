@@ -1,0 +1,103 @@
+"""In-memory index construction — pure Python, no Spark.
+
+Builds the SAME Block/TermPostings structures the reader produces, via the
+same codec, from raw posting tuples. Used by property tests (WAND ≡
+exhaustive on thousands of random corpora without JVM startup) and by any
+embedded/unit use of the query engine.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from tesserae_ng_spark.index.codec import (
+    delta_encode_ids,
+    encode_positions,
+    varint_encode,
+)
+from tesserae_ng_spark.query.reader import Block, TermPostings
+from tesserae_ng_spark.schemas import BLOCK_SIZE, BM25_B, BM25_K1
+
+
+def build_term_postings(
+    term: str,
+    postings: list[tuple],  # (doc_id, tf, dl [, positions])
+    n_docs: int,
+    avg_dl: float,
+    block_size: int = BLOCK_SIZE,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> TermPostings:
+    postings = sorted(postings, key=lambda p: p[0])
+    df = len(postings)
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    ids = np.array([p[0] for p in postings], dtype=np.int64)
+    tfs = np.array([p[1] for p in postings], dtype=np.int64)
+    dls = np.array([p[2] for p in postings], dtype=np.int64)
+    pos = [np.asarray(p[3], dtype=np.int64) for p in postings] if len(postings[0]) > 3 else None
+    scores = idf * tfs / (tfs + k1 * (1.0 - b + b * dls / avg_dl))
+    blocks = []
+    cf = int(tfs.sum())
+    for bi, start in enumerate(range(0, ids.size, block_size)):
+        sl = slice(start, min(start + block_size, ids.size))
+        blocks.append(
+            Block(
+                block_id=bi,
+                n_docs=int(ids[sl].size),
+                first_doc=int(ids[sl][0]),
+                last_doc=int(ids[sl][-1]),
+                max_score=float(scores[sl].max()),
+                _doc_ids=delta_encode_ids(ids[sl]),
+                _tfs=varint_encode(tfs[sl].astype(np.uint64)),
+                _dls=varint_encode(dls[sl].astype(np.uint64)),
+                _positions=(
+                    encode_positions(pos[sl.start : sl.stop], tfs[sl])
+                    if pos is not None
+                    else None
+                ),
+            )
+        )
+    return TermPostings(
+        term=term,
+        df=df,
+        cf=cf,
+        max_score=float(scores.max()),
+        blocks=blocks,
+    )
+
+
+def exhaustive_topk(
+    corpus: dict[int, dict[str, int]],  # doc_id -> {term: tf}
+    dls: dict[int, int],
+    query_terms: list[str],
+    k: int,
+    avg_dl: float | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> list[tuple[int, float]]:
+    """Reference scorer: plain-Python exhaustive BM25 with the engine's
+    summation order (sorted terms) and tie-break."""
+    n_docs = len(corpus)
+    if avg_dl is None:
+        avg_dl = sum(dls.values()) / n_docs
+    qterms = sorted(set(query_terms))
+    dfs = {
+        t: sum(1 for d in corpus.values() if t in d) for t in qterms
+    }
+    out = []
+    for doc_id, terms in corpus.items():
+        score = 0.0
+        hit = False
+        for t in qterms:
+            tf = terms.get(t)
+            if not tf or dfs[t] == 0:
+                continue
+            hit = True
+            idf = math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            score += idf * tf / (tf + k1 * (1.0 - b + b * dls[doc_id] / avg_dl))
+        if hit:
+            out.append((doc_id, score))
+    out.sort(key=lambda p: (-p[1], p[0]))
+    return out[:k]

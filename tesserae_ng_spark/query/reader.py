@@ -1,0 +1,199 @@
+"""Index reader: dictionary lookup + posting-block fetch, Spark-free.
+
+A single query must not pay JVM/job-scheduling latency (the reference
+serves queries from a always-warm Solr core), so the read path is
+pyarrow.dataset with predicate pushdown:
+
+- ``bucket = pmod(xxhash64(term), n_buckets)`` prunes hive partitions,
+- ``term IN (...)`` prunes parquet row groups (blocks were written sorted
+  by term within each bucket partition).
+
+The same reader runs inside executors for distributed batch queries
+(query/search.py search_batch) — local FS here, object store in prod.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.dataset as ds
+import pyarrow.compute as pc
+
+from tesserae_ng_spark.index.codec import (
+    decode_positions,
+    delta_decode_ids,
+    varint_decode,
+)
+
+
+def _xxhash64_str(s: str) -> int:
+    """Spark-compatible xxhash64(string, seed=42) — needed to compute the
+    bucket of a term without a JVM. Pure-Python XXH64 over UTF-8 bytes."""
+    P1 = 0x9E3779B185EBCA87
+    P2 = 0xC2B2AE3D27D4EB4F
+    P3 = 0x165667B19E3779F9
+    P4 = 0x85EBCA77C2B2AE63
+    P5 = 0x27D4EB2F165667C5
+    M = 0xFFFFFFFFFFFFFFFF
+    data = s.encode("utf-8")
+    seed = 42
+    n = len(data)
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    def round_(acc, inp):
+        acc = (acc + inp * P2) & M
+        return (rotl(acc, 31) * P1) & M
+
+    i = 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
+        v3 = seed
+        v4 = (seed - P1) & M
+        while i <= n - 32:
+            v1 = round_(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = round_(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = round_(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = round_(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ round_(0, v)) * P1 + P4) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i <= n - 8:
+        h = ((rotl(h ^ round_(0, int.from_bytes(data[i : i + 8], "little")), 27) * P1) + P4) & M
+        i += 8
+    if i <= n - 4:
+        h = ((rotl(h ^ (int.from_bytes(data[i : i + 4], "little") * P1) & M, 23) * P2) + P3) & M
+        i += 4
+    while i < n:
+        h = (rotl(h ^ (data[i] * P5) & M, 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h  # as signed int64
+
+
+@dataclass
+class Block:
+    block_id: int
+    n_docs: int
+    first_doc: int
+    last_doc: int
+    max_score: float
+    _doc_ids: bytes
+    _tfs: bytes
+    _dls: bytes
+    _positions: bytes | None
+    _decoded: tuple | None = None
+
+    def decode(self):
+        if self._decoded is None:
+            ids = delta_decode_ids(self._doc_ids)
+            tfs = varint_decode(self._tfs).astype(np.int64)
+            dls = varint_decode(self._dls).astype(np.int64)
+            self._decoded = (ids, tfs, dls)
+        return self._decoded
+
+    def decode_positions(self):
+        _, tfs, _ = self.decode()
+        if self._positions is None:
+            return None
+        return decode_positions(self._positions, tfs)
+
+
+@dataclass
+class TermPostings:
+    term: str
+    df: int
+    cf: int
+    max_score: float
+    blocks: list  # Block, ordered (salt asc, block_id asc) == docID order
+
+
+class IndexReader:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.n_docs = self.stats["n_docs"]
+        self.avg_dl = self.stats["avg_dl"]
+        self.n_buckets = self.stats["n_buckets"]
+        self._dict_ds = ds.dataset(os.path.join(index_dir, "dictionary"))
+        self._post_ds = ds.dataset(
+            os.path.join(index_dir, "postings"), partitioning="hive"
+        )
+
+    def lookup(self, terms: list[str]) -> dict[str, dict]:
+        """dictionary rows for terms (missing terms absent from result)."""
+        terms = sorted(set(terms))
+        tbl = self._dict_ds.to_table(filter=pc.field("term").isin(terms))
+        out = {}
+        for row in tbl.to_pylist():
+            out[row["term"]] = row
+        return out
+
+    def fetch(self, terms: list[str]) -> dict[str, TermPostings]:
+        """postings blocks for terms, metadata-sorted, lazily decodable."""
+        dic = self.lookup(terms)
+        if not dic:
+            return {}
+        buckets = sorted({int(_xxhash64_str(t) % self.n_buckets) for t in dic})
+        tbl = self._post_ds.to_table(
+            filter=(
+                pc.field("bucket").isin(buckets)
+                & pc.field("term").isin(sorted(dic))
+            )
+        )
+        cols = {c: tbl.column(c).to_pylist() for c in (
+            "term", "salt", "block_id", "n_docs", "block_first_doc",
+            "block_last_doc", "block_max_score", "doc_ids", "tfs", "dls",
+            "positions",
+        )}
+        per_term: dict[str, list] = {t: [] for t in dic}
+        for i in range(tbl.num_rows):
+            per_term[cols["term"][i]].append(
+                (
+                    cols["salt"][i],
+                    cols["block_id"][i],
+                    Block(
+                        block_id=cols["block_id"][i],
+                        n_docs=cols["n_docs"][i],
+                        first_doc=cols["block_first_doc"][i],
+                        last_doc=cols["block_last_doc"][i],
+                        max_score=cols["block_max_score"][i],
+                        _doc_ids=cols["doc_ids"][i],
+                        _tfs=cols["tfs"][i],
+                        _dls=cols["dls"][i],
+                        _positions=cols["positions"][i],
+                    ),
+                )
+            )
+        out = {}
+        for t, lst in per_term.items():
+            lst.sort(key=lambda x: (x[0], x[1]))  # (salt, block_id) = doc order
+            out[t] = TermPostings(
+                term=t,
+                df=dic[t]["df"],
+                cf=dic[t]["cf"],
+                max_score=dic[t]["max_score"],
+                blocks=[b for _, _, b in lst],
+            )
+        return out
+
+    def doc_urls(self, doc_ids: list[int]) -> dict[int, str]:
+        d = ds.dataset(os.path.join(self.index_dir, "docs"))
+        tbl = d.to_table(
+            columns=["doc_id", "url"], filter=pc.field("doc_id").isin(doc_ids)
+        )
+        return dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("url").to_pylist()))

@@ -1,0 +1,207 @@
+"""Block-max WAND top-k over compressed postings (SURVEY.md §2.11).
+
+Algorithm: Broder et al. CIKM'03 (WAND) + Ding & Suel SIGIR'11 (block-max
+refinement). Lucene 4 — the reference's engine — had neither; BMW is a
+contract requirement (BASELINE.json north_star); Lucene 8+ adopted the
+same algorithm, so its public semantics are the behavioral target.
+
+Guarantee: EXHAUSTIVE-EQUIVALENT top-k — identical (doc_id, score) lists,
+including the deterministic tie-break (score desc, doc_id asc) — property-
+tested against the pure-DataFrame oracle (tests/test_wand.py).
+
+Pruning discipline for exactness:
+- prune only when upper_bound < threshold - EPS (never on ==): a candidate
+  tying the heap minimum may still win the doc_id tie-break;
+- EPS absorbs float-addition rounding between the bound sum and the real
+  score sum;
+- per-posting scores are recomputed from (tf, dl) with the exact oracle
+  formula in float64, and block_max_score was stored as the max of those
+  same float64 values at merge time, so bounds are true upper bounds.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+
+from tesserae_ng_spark.schemas import BM25_B, BM25_K1
+
+EPS = 1e-12
+
+
+class TermIterator:
+    """Cursor over one term's blocks (blocks arrive in global docID order:
+    salts are contiguous doc ranges, so (salt, block_id) order == doc order)."""
+
+    def __init__(self, postings, n_docs: int, avg_dl: float,
+                 k1: float = BM25_K1, b: float = BM25_B):
+        self.term = postings.term
+        self.idf = math.log(1.0 + (n_docs - postings.df + 0.5) / (postings.df + 0.5))
+        self.max_score = postings.max_score
+        self.blocks = postings.blocks
+        self.avg_dl = avg_dl
+        self.k1 = k1
+        self.b = b
+        self.exhausted = not self.blocks
+        self.bi = 0
+        self.pi = 0
+        self._ids = None
+        self._scores = None
+        if not self.exhausted:
+            self._load(0)
+
+    def _load(self, bi: int) -> None:
+        self.bi = bi
+        self.pi = 0
+        ids, tfs, dls = self.blocks[bi].decode()
+        self._ids = ids
+        self._scores = self.idf * tfs / (
+            tfs + self.k1 * (1.0 - self.b + self.b * dls / self.avg_dl)
+        )
+
+    def cur_doc(self) -> int:
+        return int(self._ids[self.pi])
+
+    def cur_score(self) -> float:
+        return float(self._scores[self.pi])
+
+    def cur_block_max(self) -> float:
+        return self.blocks[self.bi].max_score
+
+    def cur_block_last(self) -> int:
+        return self.blocks[self.bi].last_doc
+
+    def advance_to(self, target: int) -> bool:
+        """Seek to the first posting with doc >= target."""
+        while True:
+            if self.blocks[self.bi].last_doc >= target:
+                pi = int(np.searchsorted(self._ids[self.pi:], target)) + self.pi
+                self.pi = pi
+                return True
+            if self.bi + 1 >= len(self.blocks):
+                self.exhausted = True
+                return False
+            self._load(self.bi + 1)
+
+    def next(self) -> bool:
+        self.pi += 1
+        if self.pi < self._ids.size:
+            return True
+        if self.bi + 1 >= len(self.blocks):
+            self.exhausted = True
+            return False
+        self._load(self.bi + 1)
+        return True
+
+    def shallow_advance(self, target: int) -> bool:
+        """Advance the block cursor (metadata only) until the current block
+        may contain target."""
+        while self.blocks[self.bi].last_doc < target:
+            if self.bi + 1 >= len(self.blocks):
+                self.exhausted = True
+                return False
+            self._load(self.bi + 1)
+        return True
+
+
+def wand_topk(
+    term_postings: dict,
+    n_docs: int,
+    avg_dl: float,
+    k: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> list[tuple[int, float]]:
+    """→ [(doc_id, score)] sorted by (score desc, doc_id asc), len ≤ k.
+
+    Full scoring sums per-term partials in sorted-term order — a fixed
+    order makes float sums deterministic across runs and parallelism.
+    """
+    its = [
+        TermIterator(tp, n_docs, avg_dl, k1, b)
+        for tp in term_postings.values()
+        if tp.blocks
+    ]
+    its = [it for it in its if not it.exhausted]
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else -math.inf
+
+    while its:
+        its.sort(key=lambda x: x.cur_doc())
+        th = theta()
+        acc = 0.0
+        pivot_idx = -1
+        for i, it in enumerate(its):
+            acc += it.max_score
+            if acc >= th - EPS:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break  # even all terms together cannot reach the threshold
+        pivot_doc = its[pivot_idx].cur_doc()
+        # include every iterator already sitting on pivot_doc: they
+        # contribute to its real score, so they belong in the bound
+        while (
+            pivot_idx + 1 < len(its)
+            and its[pivot_idx + 1].cur_doc() == pivot_doc
+        ):
+            pivot_idx += 1
+
+        # block-max refinement: tighter bound from the leaders' current blocks
+        leaders = its[: pivot_idx + 1]
+        ok = True
+        bound = 0.0
+        for it in leaders:
+            if not it.shallow_advance(pivot_doc):
+                ok = False
+                break
+            bound += it.cur_block_max()
+        if not ok:
+            its = [x for x in its if not x.exhausted]
+            continue
+        if bound < th - EPS:
+            # skip past the earliest block boundary among leaders, bounded
+            # by the next non-leader's current doc (Ding & Suel GetNewCandidate)
+            nxt = min(it.cur_block_last() for it in leaders) + 1
+            if pivot_idx + 1 < len(its):
+                nxt = min(nxt, its[pivot_idx + 1].cur_doc())
+            nxt = max(nxt, pivot_doc + 1)
+            for it in leaders:
+                it.advance_to(nxt)
+            its = [x for x in its if not x.exhausted]
+            continue
+
+        # shallow_advance may have moved a leader's cursor PAST pivot_doc
+        # (block switch resets to the next block's first doc): re-sort and
+        # re-pivot on the fresh state — progress was made, no livelock.
+        if any(it.cur_doc() > pivot_doc for it in leaders):
+            continue
+
+        # aligned ⟺ every leader sits on pivot_doc (leaders are ≤ pivot_doc
+        # after the guard above; non-leaders are ≥ pivot_doc by sort order)
+        if min(it.cur_doc() for it in leaders) == pivot_doc:
+            aligned = [it for it in its if it.cur_doc() == pivot_doc]
+            score = 0.0
+            for it in sorted(aligned, key=lambda x: x.term):
+                score += it.cur_score()
+            item = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+            for it in aligned:
+                it.next()
+            its = [x for x in its if not x.exhausted]
+        else:
+            # advance a strictly-lagging iterator (largest term bound first)
+            lagging = [it for it in leaders if it.cur_doc() < pivot_doc]
+            lag = max(lagging, key=lambda x: x.max_score)
+            lag.advance_to(pivot_doc)
+            its = [x for x in its if not x.exhausted]
+
+    out = sorted(heap, key=lambda item: (-item[0], -item[1]))
+    return [(-negid, s) for (s, negid) in out]

@@ -1,0 +1,180 @@
+"""End-to-end index build + WAND rank-identity + resume (SURVEY.md §5.4-5)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tesserae_ng_spark.functions.analysis import analyze_query
+from tesserae_ng_spark.index.build import (
+    corpus_stats,
+    docs_table,
+    prepare_docs,
+    term_doc_table,
+    tokens_stream,
+)
+from tesserae_ng_spark.index.builder import build_index
+from tesserae_ng_spark.query.bm25_oracle import bm25_topk_oracle
+from tesserae_ng_spark.query.search import Searcher, search_batch
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index"))
+    # small salt target + small blocks force the salted/merge/multi-block
+    # machinery even at 500 docs
+    res = build_index(
+        spark,
+        corpus,
+        out,
+        n_parts=3,
+        target_postings_per_salt=64,
+        block_size=16,
+        n_buckets=4,
+    )
+    assert res.n_docs == 500
+    assert res.n_terms > 0 and res.n_blocks > 0
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle_parts(spark, corpus):
+    prepared = prepare_docs(corpus).cache()
+    docs = docs_table(prepared).cache()
+    td = term_doc_table(tokens_stream(prepared)).cache()
+    st = corpus_stats(docs).collect()[0]
+    return td, docs, st["n_docs"], st["avg_dl"]
+
+
+QUERIES = [
+    "sort merge join",
+    "the",                      # head term (skew path)
+    "running quickly tables",   # stemmed forms
+    "window",                   # single term
+    "zzz absent term nothing",  # partially absent
+    "totallyabsentterm",        # fully absent → empty
+    "the fast small slow key",  # stopword-heavy multi-term
+]
+
+
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_wand_rank_identity_vs_oracle(spark, index_dir, oracle_parts, k):
+    td, docs, n_docs, avg_dl = oracle_parts
+    searcher = Searcher(index_dir)
+    for q in QUERIES:
+        terms = analyze_query(q)
+        want = bm25_topk_oracle(td, docs, terms, k, n_docs, avg_dl).collect()
+        got = searcher.search(q, k=k)
+        assert [h.doc_id for h in got] == [r["doc_id"] for r in want], q
+        for h, r in zip(got, want):
+            assert abs(h.score - r["score"]) < 1e-9, (q, h, r)
+
+
+def test_index_stats_match_oracle(index_dir, oracle_parts):
+    _, _, n_docs, avg_dl = oracle_parts
+    s = Searcher(index_dir)
+    assert s.reader.n_docs == n_docs
+    assert abs(s.reader.avg_dl - avg_dl) < 1e-9
+
+
+def test_dictionary_df_exact(spark, index_dir, oracle_parts):
+    td, _, _, _ = oracle_parts
+    want = {r["term"]: r["df"] for r in td.groupBy("term").count().withColumnRenamed("count", "df").collect()}
+    dic = spark.read.parquet(f"{index_dir}/dictionary").collect()
+    got = {r["term"]: r["df"] for r in dic}
+    assert got == want
+
+
+def test_batch_search_matches_single(spark, index_dir):
+    searcher = Searcher(index_dir)
+    queries = [
+        {"query_id": i, "query_text": q, "k": 5} for i, q in enumerate(QUERIES)
+    ]
+    batch = search_batch(spark, index_dir, queries, k=5).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for i, q in enumerate(QUERIES):
+        single = [(h.rank, h.doc_id, h.score) for h in searcher.search(q, k=5)]
+        assert sorted(by_q.get(i, [])) == single, q
+
+
+def test_phrase_and_proximity(spark, index_dir, corpus):
+    """Cross-check positional modes against brute-force over raw tokens."""
+    from tesserae_ng_spark.functions.analysis import analyze
+
+    rows = (
+        prepare_docs(corpus)
+        .select("doc_id", "text", "lang")
+        .collect()
+    )
+    toks = {r["doc_id"]: [t for t, _ in analyze(r["text"], r["lang"])] for r in rows}
+
+    searcher = Searcher(index_dir)
+    # pick a phrase that exists: scan brute force for any adjacent pair
+    phrase = None
+    for d, ts in toks.items():
+        if len(ts) >= 2:
+            phrase = (ts[0], ts[1])
+            break
+    q = f"{phrase[0]} {phrase[1]}"
+    got = {h.doc_id for h in searcher.search(q, k=500, mode="phrase")}
+    want = {
+        d
+        for d, ts in toks.items()
+        if any(a == phrase[0] and b == phrase[1] for a, b in zip(ts, ts[1:]))
+    }
+    assert got == want
+
+    got_prox = {h.doc_id for h in searcher.search(q, k=500, mode="proximity", window=5)}
+    def min_span(ts, a, b):
+        pa = [i for i, t in enumerate(ts) if t == a]
+        pb = [i for i, t in enumerate(ts) if t == b]
+        if not pa or not pb:
+            return None
+        return min(abs(x - y) for x in pa for y in pb)
+    want_prox = {
+        d for d, ts in toks.items()
+        if (s := min_span(ts, phrase[0], phrase[1])) is not None and s <= 5
+    }
+    assert got_prox == want_prox
+
+
+def test_resume_skips_done_partitions(spark, corpus, tmp_path):
+    out = str(tmp_path / "idx")
+    # first attempt dies after partition 0
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, corpus, out, n_parts=3, fail_after_part=0,
+                    block_size=16, n_buckets=2)
+    # resume: partition 0 skipped, 1..2 built
+    res = build_index(spark, corpus, out, n_parts=3, block_size=16, n_buckets=2)
+    assert res.skipped_parts == [0]
+    assert res.built_parts == [1, 2]
+    assert res.n_docs == 500
+
+    # full rebuild from scratch → logically identical postings
+    out2 = str(tmp_path / "idx2")
+    build_index(spark, corpus, out2, n_parts=3, block_size=16, n_buckets=2)
+    a = spark.read.parquet(f"{out}/postings").drop("bucket")
+    b = spark.read.parquet(f"{out2}/postings").drop("bucket")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_determinism_across_parallelism(spark, corpus, tmp_path):
+    """Same corpus, different partition counts → identical logical index
+    (the rank-identity-across-cluster-sizes prerequisite)."""
+    outs = []
+    for n_parts in (1, 4):
+        out = str(tmp_path / f"p{n_parts}")
+        build_index(spark, corpus, out, n_parts=n_parts, block_size=16,
+                    n_buckets=2, target_postings_per_salt=64)
+        outs.append(out)
+    a = spark.read.parquet(f"{outs[0]}/postings").drop("bucket")
+    b = spark.read.parquet(f"{outs[1]}/postings").drop("bucket")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    da = spark.read.parquet(f"{outs[0]}/dictionary")
+    db = spark.read.parquet(f"{outs[1]}/dictionary")
+    assert da.exceptAll(db).count() == 0 and db.exceptAll(da).count() == 0

@@ -1,0 +1,94 @@
+"""WAND ≡ exhaustive property tests (SURVEY.md §5.2) — no Spark needed."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tesserae_ng_spark.index.inmem import build_term_postings, exhaustive_topk
+from tesserae_ng_spark.query.wand import wand_topk
+
+
+def make_index(corpus, dls, block_size):
+    n_docs = len(corpus)
+    avg_dl = sum(dls.values()) / n_docs
+    terms = {}
+    for doc_id, tfs in corpus.items():
+        for t, tf in tfs.items():
+            terms.setdefault(t, []).append((doc_id, tf, dls[doc_id]))
+    tps = {
+        t: build_term_postings(t, ps, n_docs, avg_dl, block_size)
+        for t, ps in terms.items()
+    }
+    return tps, n_docs, avg_dl
+
+
+corpus_strategy = st.dictionaries(
+    keys=st.integers(min_value=-(2**62), max_value=2**62),  # doc ids
+    values=st.dictionaries(
+        keys=st.sampled_from([f"t{i}" for i in range(8)]),
+        values=st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(
+    corpus=corpus_strategy,
+    qsize=st.integers(min_value=1, max_value=4),
+    k=st.sampled_from([1, 3, 10, 100]),
+    block_size=st.sampled_from([2, 4, 128]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=400, deadline=None)
+def test_wand_equals_exhaustive(corpus, qsize, k, block_size, seed):
+    rng = np.random.RandomState(seed)
+    vocab = [f"t{i}" for i in range(8)]
+    query = [vocab[i] for i in rng.choice(8, size=qsize, replace=False)]
+    dls = {d: sum(tfs.values()) for d, tfs in corpus.items()}
+    tps, n_docs, avg_dl = make_index(corpus, dls, block_size)
+    fetched = {t: tps[t] for t in set(query) if t in tps}
+
+    got = wand_topk(fetched, n_docs, avg_dl, k)
+    want = exhaustive_topk(corpus, dls, query, k, avg_dl)
+
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-9), (gd, gs, ws)
+
+
+def test_wand_absent_and_empty():
+    corpus = {1: {"a": 2}, 2: {"a": 1, "b": 1}}
+    dls = {1: 2, 2: 2}
+    tps, n, avg = make_index(corpus, dls, 128)
+    assert wand_topk({}, n, avg, 5) == []
+    got = wand_topk({"b": tps["b"]}, n, avg, 5)
+    assert [d for d, _ in got] == [2]
+
+
+def test_wand_tie_break_doc_id_asc():
+    # identical tf/dl → identical scores → lower doc_id ranks first
+    corpus = {10: {"x": 1}, 3: {"x": 1}, 7: {"x": 1}}
+    dls = {10: 1, 3: 1, 7: 1}
+    tps, n, avg = make_index(corpus, dls, 2)
+    got = wand_topk(tps, n, avg, 2)
+    assert [d for d, _ in got] == [3, 7]
+
+
+def test_skip_heavy_case():
+    # one rare high-idf term + one ubiquitous term: BMW should still return
+    # exactly the exhaustive answer across many block boundaries
+    corpus = {}
+    for d in range(500):
+        corpus[d] = {"common": 1 + (d % 3)}
+        if d % 97 == 0:
+            corpus[d]["rare"] = 5
+    dls = {d: sum(t.values()) for d, t in corpus.items()}
+    tps, n, avg = make_index(corpus, dls, 8)
+    got = wand_topk(tps, n, avg, 10)
+    want = exhaustive_topk(corpus, dls, ["common", "rare"], 10)
+    assert got == want
