@@ -1,0 +1,136 @@
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Runs the headline workload at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {<piece>: sec, ...}, "sf": <sf>, ...extras}
+
+Pieces:
+  build_index      full corpus (all langs) → compressed positional index
+  query_batch      the 60-query reference set, distributed batch mode
+  query_latency    200 sequential single queries (p50/p99 in extras)
+  bm25_oracle      exhaustive DataFrame BM25 (oracle path)
+  dedup_minhash    MinHash+LSH near-dup sweep over documents
+  ann_topk         brute-force cosine top-k over embeddings
+
+Extras: docs_per_sec, queries_per_sec, p50_ms, p99_ms — the BASELINE.md
+metrics. Scaling protocol (N vs 4N) lives in tools/bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    out_json = {}
+    timings = {}
+
+    from tesserae_ng_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    from tesserae_ng_spark.index.builder import build_index
+    from tesserae_ng_spark.operators import load_all
+    from tesserae_ng_spark.query.search import Searcher, search_batch
+    from tesserae_ng_spark.sources.corpus import synthesize_corpus
+
+    registry = load_all()
+
+    # --- build -------------------------------------------------------------
+    idx_dir = os.environ.get("SPARK_GRAFT_IDX", f"/tmp/tesserae_bench_idx_{sf}_{cpus}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    # amplify deterministically so 32 cores have real work (5k base docs at
+    # sf0.1); replicas repeat docs under distinct urls — seeded, no RNG
+    replicas = int(os.environ.get("SPARK_GRAFT_REPLICAS", "8" if sf == "0.1" else "1"))
+    corpus = synthesize_corpus(spark, sf_dir, replicas=replicas).persist()
+    out_json["replicas"] = replicas
+    n_rows = corpus.count()  # materialize synthesis outside the timed build
+    t0 = time.time()
+    res = build_index(
+        spark,
+        corpus,
+        idx_dir,
+        n_parts=int(os.environ.get("SPARK_GRAFT_NPARTS", "4")),
+        target_postings_per_salt=1 << 14,
+        n_buckets=16,
+    )
+    timings["build_index"] = time.time() - t0
+    corpus.unpersist()
+    out_json["docs_per_sec"] = round(res.n_docs / timings["build_index"], 2)
+    out_json["n_docs"] = res.n_docs
+    out_json["n_terms"] = res.n_terms
+    out_json["n_blocks"] = res.n_blocks
+
+    # --- query set ----------------------------------------------------------
+    import duckdb
+
+    vocab_rows = duckdb.sql(
+        f"""SELECT term, count(DISTINCT doc_id) AS df FROM (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+              FROM '{sf_dir}/documents.parquet') WHERE term <> ''
+            GROUP BY term ORDER BY df DESC, term"""
+    ).fetchall()
+    from tesserae_ng_spark.fixtures import make_queries
+
+    queries = make_queries([(t, d) for t, d in vocab_rows], n=60)
+
+    t0 = time.time()
+    n_hits = search_batch(spark, idx_dir, queries, k=10).count()
+    timings["query_batch"] = time.time() - t0
+    out_json["queries_per_sec"] = round(len(queries) / timings["query_batch"], 2)
+    out_json["batch_hits"] = n_hits
+
+    searcher = Searcher(idx_dir)
+    lat = []
+    t0 = time.time()
+    for i in range(200):
+        q = queries[i % len(queries)]
+        t1 = time.time()
+        searcher.search(q["query_text"], k=q["k"], mode=q["mode"])
+        lat.append((time.time() - t1) * 1000)
+    timings["query_latency"] = time.time() - t0
+    lat.sort()
+    out_json["p50_ms"] = round(lat[len(lat) // 2], 3)
+    out_json["p99_ms"] = round(lat[int(len(lat) * 0.99)], 3)
+    out_json["single_qps"] = round(200 / timings["query_latency"], 2)
+
+    # --- headline operator queries ------------------------------------------
+    for key, piece in [
+        ("bm25_exhaustive", "bm25_oracle"),
+        ("dedup_minhash_lsh", "dedup_minhash"),
+        ("ann_bruteforce_topk", "ann_topk"),
+    ]:
+        fn, _ = registry[key]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[piece] = time.time() - t0
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "index-build + BM25 query suite wall time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": sf,
+                "cpus": cpus,
+                **out_json,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

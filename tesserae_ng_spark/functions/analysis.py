@@ -99,3 +99,45 @@ def analyze_udf_factory():
 
 
 analyze_udf = analyze_udf_factory()
+
+
+# ---------------------------------------------------------------------------
+# Document-at-a-time term aggregation (the Lucene term-vector shape):
+# tf + positions grouped per term INSIDE the UDF, so the index build needs
+# no token-level shuffle at all — (doc, term, tf, positions) rows come out
+# of the scan stage directly (SURVEY.md §3.1 stage 3-4 fused).
+# ---------------------------------------------------------------------------
+
+DOC_TERMS_STRUCT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("tf", T.IntegerType(), False),
+            T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+)
+
+
+def doc_terms(text: str | None, lang: str | None = "en",
+              _memo: dict | None = None) -> list[tuple[str, int, list[int]]]:
+    """Per-doc term vector: sorted [(term, tf, positions)], positions asc."""
+    toks = analyze(text, lang, _memo=_memo)
+    agg: dict[str, list[int]] = {}
+    for term, pos in toks:
+        agg.setdefault(term, []).append(pos)
+    return [(t, len(ps), ps) for t, ps in sorted(agg.items())]
+
+
+def doc_terms_udf_factory():
+    @F.pandas_udf(DOC_TERMS_STRUCT)
+    def _doc_terms(text: pd.Series, lang: pd.Series) -> pd.Series:
+        memo: dict[str, str] = {}
+        return pd.Series(
+            [doc_terms(t, lg, _memo=memo) for t, lg in zip(text, lang)]
+        )
+
+    return _doc_terms
+
+
+doc_terms_udf = doc_terms_udf_factory()

@@ -1,4 +1,4 @@
-"""Index build: corpus → docs / token stream / term-doc postings / stats.
+"""Index build: corpus → docs / term-doc postings / stats.
 
 This is the logical plan shared by BOTH the oracle path (uncompressed
 term-doc DataFrame + pure-DataFrame BM25; SURVEY.md §7 M1 — kept forever)
@@ -7,15 +7,17 @@ and the engine path (block-compressed postings, index/encode.py).
 Pipeline (SURVEY.md §3.1), every stage a DataFrame with a declared schema:
 
   scan (pruned/pushed-down) → as-of latest-crawl dedupe → html_extract UDF
-  → analyze UDF (tokenize+stem) → posexplode → (doc_id, term, pos)
-  → groupBy aggregations (tf / dl / df / corpus stats)
+  → doc_terms UDF (tokenize+stem AND per-term tf/position aggregation,
+  document-at-a-time — the Lucene term-vector shape) → explode
+  → (doc_id, term, tf, positions, dl)
 
 Scale notes (100 TB):
-- The only wide exchanges are the groupBys; Spark plans partial (map-side)
-  aggregation for count/sum automatically, so the shuffle carries
-  (term, doc_id) partial counts, not raw token occurrences.
+- Aggregating tf/positions inside the Arrow UDF removes the token-level
+  groupBy entirely: nothing token-granular ever crosses a shuffle. The
+  only wide exchange left in stage A is the per-term grouping feeding the
+  block encoder (and it moves pre-aggregated postings, ~10× smaller).
 - doc_id = xxhash64(url): stable, coordination-free, uniformly distributed
-  → later doc-range salting is balanced by construction.
+  → the doc-range salting downstream is balanced by construction.
 - The as-of dedupe is a window over url; urls are near-unique so there is
   no skew, and AQE coalesces the post-shuffle partitions.
 """
@@ -25,8 +27,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tesserae_ng_spark.functions.analysis import analyze_udf
+from tesserae_ng_spark.functions.analysis import doc_terms_udf
 from tesserae_ng_spark.functions.html import html_extract_udf
+
+# Optimizer hint, not semantics (both functions are pure/deterministic —
+# rank-identity depends on it): asNondeterministic() stops CollapseProject
+# from DUPLICATING the Arrow UDF evaluation when a later projection (the
+# dl aggregate) references the UDF output column. Without it the analyzer
+# chain runs twice per row.
+_html_extract = html_extract_udf.asNondeterministic()
+_doc_terms = doc_terms_udf.asNondeterministic()
 
 
 def asof_latest(corpus: DataFrame) -> DataFrame:
@@ -48,50 +58,67 @@ def prepare_docs(
     lang: str | None = None,
     use_stored_text: bool = False,
 ) -> DataFrame:
-    """corpus → (doc_id, url, lang, text, tokens array<struct<term,pos>>).
+    """corpus → (doc_id, url, lang, dl, doc_terms).
 
     ``lang`` filter is applied FIRST so Catalyst pushes it into the scan
     (partition pruning on Iceberg, row-group skip on parquet).
     ``use_stored_text=False`` runs the real extractor (production path);
     True trusts the stored text column (used to cross-check byte-identity).
+    dl (exact token count) = Σ tf, computed JVM-side over the terms array.
     """
     df = corpus
     if lang is not None:
         df = df.filter(F.col("lang") == lang)
+    # explicit url repartition: (a) satisfies the as-of window's hash
+    # distribution (no second exchange), (b) a USER-specified partition
+    # count is exempt from AQE coalescing — vital because the downstream
+    # UDF chain is CPU-per-row heavy, and AQE's byte-based coalescing would
+    # otherwise serialize 80 MB of html onto 1-2 Python workers.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    df = df.repartition(n_parts, "url")
     df = asof_latest(df)
-    text = F.col("text") if use_stored_text else html_extract_udf(F.col("html"))
+    text = F.col("text") if use_stored_text else _html_extract(F.col("html"))
     df = df.select(
         F.xxhash64("url").alias("doc_id"),
         "url",
         "lang",
-        text.alias("text"),
+        _doc_terms(text, F.col("lang")).alias("doc_terms"),
     )
-    return df.withColumn("tokens", analyze_udf(F.col("text"), F.col("lang")))
-
-
-def tokens_stream(prepared: DataFrame) -> DataFrame:
-    """(doc_id, term, pos) token-occurrence stream."""
-    return prepared.select(
-        "doc_id", F.explode("tokens").alias("tk")
-    ).select("doc_id", F.col("tk.term").alias("term"), F.col("tk.pos").alias("pos"))
+    return df.withColumn(
+        "dl",
+        F.aggregate(
+            "doc_terms", F.lit(0), lambda acc, x: acc + x["tf"]
+        ).cast("int"),
+    )
 
 
 def docs_table(prepared: DataFrame) -> DataFrame:
     """(doc_id, url, lang, dl). dl = exact token count (no quantization)."""
+    return prepared.select("doc_id", "url", "lang", "dl")
+
+
+def term_doc_table(prepared: DataFrame) -> DataFrame:
+    """Uncompressed positional postings: (term, doc_id, tf, positions, dl).
+
+    A narrow explode of the per-doc term vectors — no shuffle. Positions
+    are ascending by construction (token ordinals in document order).
+    """
     return prepared.select(
-        "doc_id", "url", "lang", F.size("tokens").alias("dl")
+        "doc_id", "dl", F.explode("doc_terms").alias("tv")
+    ).select(
+        F.col("tv.term").alias("term"),
+        "doc_id",
+        F.col("tv.tf").alias("tf"),
+        F.col("tv.positions").alias("positions"),
+        "dl",
     )
 
 
-def term_doc_table(tokens: DataFrame) -> DataFrame:
-    """Uncompressed positional postings: (term, doc_id, tf, positions).
-
-    Positions are sorted ascending — analyze emits ordinals in order, but
-    array_sort makes the invariant explicit and shuffle-order-proof.
-    """
-    return tokens.groupBy("term", "doc_id").agg(
-        F.count("*").cast("int").alias("tf"),
-        F.array_sort(F.collect_list("pos")).alias("positions"),
+def tokens_stream(prepared: DataFrame) -> DataFrame:
+    """(doc_id, term, pos) token-occurrence stream (diagnostics/oracles)."""
+    td = term_doc_table(prepared)
+    return td.select(
+        "doc_id", "term", F.explode("positions").alias("pos")
     )
 
 

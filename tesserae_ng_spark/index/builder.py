@@ -36,7 +36,6 @@ from tesserae_ng_spark.index.build import (
     docs_table,
     prepare_docs,
     term_doc_table,
-    tokens_stream,
 )
 from tesserae_ng_spark.index.encode import encode_shard_blocks
 from tesserae_ng_spark.index.manifest import (
@@ -91,19 +90,44 @@ def build_index(
         corpus = source
         source_desc = "dataframe"
 
-    built, skipped = [], []
+    built, skipped, todo = [], [], []
     for part in range(n_parts):
         fp = _fingerprint(source_desc, n_parts, part, lang)
         if resume and partition_done(out_dir, part, fp):
             skipped.append(part)
-            continue
-        _build_partition(
-            spark, corpus, out_dir, part, n_parts, fp, lang,
-            use_stored_text, with_positions, block_size,
-        )
-        built.append(part)
-        if fail_after_part is not None and part >= fail_after_part:
-            raise RuntimeError(f"injected failure after partition {part}")
+        else:
+            todo.append((part, fp))
+
+    if fail_after_part is not None:
+        # test hook path: deterministic ordering, crash mid-build
+        for part, fp in todo:
+            _build_partition(
+                spark, corpus, out_dir, part, n_parts, fp, lang,
+                use_stored_text, with_positions, block_size,
+            )
+            built.append(part)
+            if part >= fail_after_part:
+                raise RuntimeError(f"injected failure after partition {part}")
+    elif todo:
+        # partition jobs are independent (distinct output paths + manifests):
+        # submit them concurrently so per-job fixed costs (scheduling, UDF
+        # worker spin-up, small final stages) overlap. Spark's scheduler
+        # interleaves the jobs across the same executor slots.
+        from concurrent.futures import ThreadPoolExecutor
+
+        max_conc = min(4, len(todo))
+        with ThreadPoolExecutor(max_workers=max_conc) as pool:
+            futs = {
+                pool.submit(
+                    _build_partition, spark, corpus, out_dir, part, n_parts,
+                    fp, lang, use_stored_text, with_positions, block_size,
+                ): part
+                for part, fp in todo
+            }
+            for f, part in futs.items():
+                f.result()
+                built.append(part)
+        built.sort()
 
     result = _merge_all(
         spark, out_dir, target_postings_per_salt, n_buckets, block_size
@@ -126,11 +150,11 @@ def _build_partition(
     docs_path = f"{out_dir}/shards/docs/part={part}"
     docs.write.mode("overwrite").parquet(docs_path)
 
-    td = term_doc_table(tokens_stream(prepared))
+    # document-at-a-time term vectors: (term, doc_id, tf, positions, dl)
+    # with NO token-level shuffle and no dl join (build.py)
+    td_dl = term_doc_table(prepared)
     if not with_positions:
-        td = td.withColumn("positions", F.lit(None).cast("array<int>"))
-    docs_dl = spark.read.parquet(docs_path).select("doc_id", "dl")
-    td_dl = td.join(docs_dl, "doc_id")
+        td_dl = td_dl.withColumn("positions", F.lit(None).cast("array<int>"))
     blocks = encode_shard_blocks(td_dl, block_size)
     blocks_path = f"{out_dir}/shards/postings/part={part}"
     blocks.write.mode("overwrite").parquet(blocks_path)

@@ -91,6 +91,27 @@ def delta_decode_ids(buf: bytes) -> np.ndarray:
     return from_u64(np.cumsum(d, dtype=np.uint64))
 
 
+def concat_decode_varints(bufs: list[bytes]) -> np.ndarray:
+    """Decode many varint buffers in ONE pass (join + single decode).
+    Varint streams are self-delimiting, so concatenation is lossless."""
+    return varint_decode(b"".join(bufs))
+
+
+def concat_decode_ids(bufs: list[bytes], counts: np.ndarray) -> np.ndarray:
+    """Decode many delta-id buffers (each with an absolute first value) in
+    one pass: single varint decode + segmented cumsum (cumsum reset at each
+    buffer start via reduceat-style base subtraction)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    d = concat_decode_varints(bufs)
+    if d.size == 0:
+        return np.empty(0, dtype=np.int64)
+    glob = np.cumsum(d, dtype=np.uint64)
+    starts = np.cumsum(counts) - counts
+    seg_base = glob[starts] - d[starts]
+    base = np.repeat(seg_base, counts)
+    return from_u64(glob - base)
+
+
 def encode_positions(positions_per_doc: list, tfs: np.ndarray) -> bytes:
     """Per-doc sorted position lists → concatenated delta varints.
 

@@ -32,7 +32,6 @@ def tf_norm_expr(tf: Column, dl: Column, avg_dl: Column | float,
 
 def bm25_scores(
     term_doc: DataFrame,
-    docs: DataFrame,
     query_terms: list[str],
     n_docs: int,
     avg_dl: float,
@@ -41,40 +40,34 @@ def bm25_scores(
 ) -> DataFrame:
     """Per-doc BM25 scores for a single query → (doc_id, score).
 
-    Plan shape: the query-term filter is an IN-list literal (pushed into
-    the postings scan); df comes from a groupBy over the *filtered*
-    postings (tiny); the df table is broadcast back; docs join supplies dl
-    (broadcast when small, SMJ otherwise — Catalyst/AQE decide).
+    ``term_doc`` carries (term, doc_id, tf, dl). Plan shape: the query-term
+    IN-list filter is pushed into the postings scan; df comes from a groupBy
+    over the *filtered* postings (tiny) and is broadcast back.
     """
     qterms = sorted(set(query_terms))
     if not qterms:
         return term_doc.sparkSession.createDataFrame([], "doc_id long, score double")
     matched = term_doc.filter(F.col("term").isin(qterms))
     term_df = matched.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        matched.join(F.broadcast(term_df), "term")
-        .join(docs.select("doc_id", "dl"), "doc_id")
-        .select(
-            "doc_id",
-            (
-                idf_expr(float(n_docs), F.col("df"))
-                * tf_norm_expr(F.col("tf"), F.col("dl"), float(avg_dl), k1, b)
-            ).alias("partial"),
-        )
+    scored = matched.join(F.broadcast(term_df), "term").select(
+        "doc_id",
+        (
+            idf_expr(float(n_docs), F.col("df"))
+            * tf_norm_expr(F.col("tf"), F.col("dl"), float(avg_dl), k1, b)
+        ).alias("partial"),
     )
     return scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
 
 
 def bm25_topk_oracle(
     term_doc: DataFrame,
-    docs: DataFrame,
     query_terms: list[str],
     k: int,
     n_docs: int,
     avg_dl: float,
 ) -> DataFrame:
     """Top-k (rank, doc_id, score) with the deterministic tie-break."""
-    scores = bm25_scores(term_doc, docs, query_terms, n_docs, avg_dl)
+    scores = bm25_scores(term_doc, query_terms, n_docs, avg_dl)
     return (
         scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)

@@ -119,11 +119,46 @@ class TermPostings:
     cf: int
     max_score: float
     blocks: list  # Block, ordered (salt asc, block_id asc) == docID order
+    _full: tuple | None = None
+
+    def decode_full(self, with_positions: bool = False) -> tuple:
+        """Decode ALL blocks in one concatenated pass → (ids, tfs, dls[,
+        positions_per_doc]). ~50× fewer numpy calls than per-block decode —
+        the dense-path fast lane. Cached."""
+        import numpy as _np
+
+        from tesserae_ng_spark.index.codec import (
+            concat_decode_ids,
+            concat_decode_varints,
+            decode_positions,
+        )
+
+        need_pos = with_positions
+        if self._full is not None and (not need_pos or self._full[3] is not None):
+            return self._full
+        counts = _np.array([b.n_docs for b in self.blocks], dtype=_np.int64)
+        ids = concat_decode_ids([b._doc_ids for b in self.blocks], counts)
+        tfs = concat_decode_varints([b._tfs for b in self.blocks]).astype(_np.int64)
+        dls = concat_decode_varints([b._dls for b in self.blocks]).astype(_np.int64)
+        pos = None
+        if need_pos:
+            if any(b._positions is None for b in self.blocks):
+                raise RuntimeError("index built without positions")
+            pos = decode_positions(b"".join(b._positions for b in self.blocks), tfs)
+        self._full = (ids, tfs, dls, pos)
+        return self._full
 
 
 class IndexReader:
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, term_cache_size: int = 65_536):
         self.index_dir = index_dir
+        # term → TermPostings LRU (the Solr/Lucene query-cache analog,
+        # SURVEY.md §4): the index is immutable, so cached postings never
+        # invalidate; capacity bounds memory on web-scale vocabularies.
+        from collections import OrderedDict
+
+        self._term_cache: OrderedDict[str, TermPostings] = OrderedDict()
+        self._term_cache_size = term_cache_size
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self.n_docs = self.stats["n_docs"]
@@ -133,10 +168,19 @@ class IndexReader:
         self._post_ds = ds.dataset(
             os.path.join(index_dir, "postings"), partitioning="hive"
         )
+        # small dictionaries (≤ ~1M terms) are cheaper to pin in memory than
+        # to filter-scan per query; web-scale vocabularies fall back to
+        # pushdown reads (parquet row-group stats on the term-sorted file)
+        self._dict_cache: dict[str, dict] | None = None
+        if self._dict_ds.count_rows() <= 1_000_000:
+            tbl = self._dict_ds.to_table()
+            self._dict_cache = {r["term"]: r for r in tbl.to_pylist()}
 
     def lookup(self, terms: list[str]) -> dict[str, dict]:
         """dictionary rows for terms (missing terms absent from result)."""
         terms = sorted(set(terms))
+        if self._dict_cache is not None:
+            return {t: self._dict_cache[t] for t in terms if t in self._dict_cache}
         tbl = self._dict_ds.to_table(filter=pc.field("term").isin(terms))
         out = {}
         for row in tbl.to_pylist():
@@ -145,6 +189,26 @@ class IndexReader:
 
     def fetch(self, terms: list[str]) -> dict[str, TermPostings]:
         """postings blocks for terms, metadata-sorted, lazily decodable."""
+        terms = sorted(set(terms))
+        cached = {}
+        missing = []
+        for t in terms:
+            tp = self._term_cache.get(t)
+            if tp is not None:
+                self._term_cache.move_to_end(t)
+                cached[t] = tp
+            else:
+                missing.append(t)
+        if missing:
+            fetched = self._fetch_uncached(missing)
+            for t, tp in fetched.items():
+                self._term_cache[t] = tp
+                if len(self._term_cache) > self._term_cache_size:
+                    self._term_cache.popitem(last=False)
+            cached.update(fetched)
+        return cached
+
+    def _fetch_uncached(self, terms: list[str]) -> dict[str, TermPostings]:
         dic = self.lookup(terms)
         if not dic:
             return {}

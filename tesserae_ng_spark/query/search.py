@@ -29,8 +29,12 @@ import numpy as np
 
 from tesserae_ng_spark.functions.analysis import analyze_query
 from tesserae_ng_spark.query.reader import IndexReader, TermPostings
-from tesserae_ng_spark.query.wand import wand_topk
+from tesserae_ng_spark.query.wand import bm25_dense_topk, wand_topk
 from tesserae_ng_spark.schemas import BM25_B, BM25_K1
+
+# below this many total postings, vectorized exhaustive scoring beats the
+# skip-capable doc-at-a-time loop (which only wins when it can skip)
+DENSE_POSTINGS_CUTOFF = 1 << 20
 
 
 @dataclass
@@ -54,7 +58,15 @@ class Searcher:
         if not fetched:
             return []
         if mode == "bm25":
-            top = wand_topk(fetched, self.reader.n_docs, self.reader.avg_dl, k)
+            # hybrid: both paths are exhaustive-equivalent (property-tested);
+            # pick by how much skipping is even possible
+            total_postings = sum(tp.df for tp in fetched.values())
+            scorer = (
+                bm25_dense_topk
+                if total_postings <= DENSE_POSTINGS_CUTOFF
+                else wand_topk
+            )
+            top = scorer(fetched, self.reader.n_docs, self.reader.avg_dl, k)
         elif mode == "phrase":
             ordered = [fetched[t] for t in terms if t in fetched]
             if len(ordered) < len(terms):
@@ -75,78 +87,92 @@ class Searcher:
 # ---------------------------------------------------------------------------
 
 
-class _PosCursor:
-    """Doc-at-a-time cursor with positions, over one term's blocks."""
+def _conjunctive_matches(tps: list[TermPostings]):
+    """Vectorized conjunctive intersection with positions.
 
-    def __init__(self, tp: TermPostings):
-        self.blocks = tp.blocks
-        self.bi = -1
-        self.pi = 0
-        self._ids = None
-        self._tfs = None
-        self._pos = None
-        self.exhausted = False
-        self._next_block()
-
-    def _next_block(self) -> bool:
-        self.bi += 1
-        if self.bi >= len(self.blocks):
-            self.exhausted = True
-            return False
-        blk = self.blocks[self.bi]
-        self._ids, self._tfs, _ = blk.decode()
-        self._pos = None  # decode lazily
-        self.pi = 0
-        return True
-
-    def cur_doc(self) -> int:
-        return int(self._ids[self.pi])
-
-    def cur_tf(self) -> int:
-        return int(self._tfs[self.pi])
-
-    def cur_positions(self) -> np.ndarray:
-        if self._pos is None:
-            self._pos = self.blocks[self.bi].decode_positions()
-            if self._pos is None:
-                raise RuntimeError("index built without positions")
-        return self._pos[self.pi]
-
-    def advance_to(self, target: int) -> bool:
-        while True:
-            if self.blocks[self.bi].last_doc >= target:
-                self.pi = int(np.searchsorted(self._ids[self.pi:], target)) + self.pi
-                return True
-            if not self._next_block():
-                return False
-
-    def next(self) -> bool:
-        self.pi += 1
-        if self.pi < self._ids.size:
-            return True
-        return self._next_block()
-
-
-def _conjunctive_docs(tps: list[TermPostings]):
-    """Yield (doc_id, [cursor per term]) for docs containing ALL terms."""
-    cursors = [_PosCursor(tp) for tp in tps]
-    if any(c.exhausted for c in cursors):
+    Yields (doc_id, [(tf_t, positions_t) per term]) for docs containing ALL
+    terms. Full-decode per term (one concatenated numpy pass), intersect
+    doc-id arrays (each unique+sorted), then walk ONLY the matching docs.
+    """
+    if not tps:
         return
-    target = max(c.cur_doc() for c in cursors)
-    while True:
-        aligned = True
-        for c in cursors:
-            if not c.advance_to(target):
-                return
-            if c.cur_doc() != target:
-                target = c.cur_doc()
-                aligned = False
-                break
-        if aligned:
-            yield target, cursors
-            if not cursors[0].next():
-                return
-            target = max(c.cur_doc() for c in cursors)
+    decoded = [tp.decode_full(with_positions=True) for tp in tps]
+    common = decoded[0][0]
+    for ids, *_ in decoded[1:]:
+        common = np.intersect1d(common, ids, assume_unique=True)
+        if common.size == 0:
+            return
+    # per-term row index of each common doc (searchsorted: ids are sorted)
+    idxs = [np.searchsorted(ids, common) for ids, *_ in decoded]
+    for row, doc in enumerate(common):
+        per_term = []
+        dl = 0
+        for t, (ids, tfs, dls, pos) in enumerate(decoded):
+            i = int(idxs[t][row])
+            dl = int(dls[i])
+            per_term.append((int(tfs[i]), pos[i]))
+        yield int(doc), dl, per_term
+
+
+_ROW_SHIFT = np.int64(1) << np.int64(21)  # positions < 2^21 (dl < 2M tokens)
+
+
+def _row_pos_keys(decoded, idxs, n_common):
+    """Per term: pack (common-row, position) into one sortable int64 key.
+    Rows (not raw doc ids — those span the full int64 range) make the
+    packing safe: row < n_common, pos < 2^21."""
+    keys = []
+    for t, (ids, tfs, dls, pos) in enumerate(decoded):
+        sel = idxs[t]
+        counts = tfs[sel]
+        rows = np.repeat(np.arange(len(sel), dtype=np.int64), counts)
+        pos_sel = (
+            np.concatenate([pos[i] for i in sel]).astype(np.int64)
+            if len(sel)
+            else np.empty(0, dtype=np.int64)
+        )
+        keys.append(rows * _ROW_SHIFT + pos_sel)
+    return keys
+
+
+def _phrase_rows_vectorized(keys: list[np.ndarray]):
+    """→ (rows, phrase_tf) of common-rows containing the exact phrase.
+    Chained np.isin over packed keys: start positions where term_i sits at
+    pos+i for every i. Fully vectorized across all docs at once."""
+    cur = keys[0]
+    for i in range(1, len(keys)):
+        cur = cur[np.isin(cur + i, keys[i])]
+        if cur.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    rows = cur // _ROW_SHIFT
+    uniq, tf = np.unique(rows, return_counts=True)
+    return uniq, tf
+
+
+def _min_span_2term_vectorized(k1: np.ndarray, k2: np.ndarray):
+    """→ (rows, min |p1-p2| per row) for two packed-key arrays.
+    The minimal cross-set distance is realized by an adjacent pair in the
+    merged sorted order (classic two-pointer argument), so one argsort +
+    one adjacent scan covers every doc simultaneously."""
+    allk = np.concatenate([k1, k2])
+    flag = np.concatenate(
+        [np.zeros(k1.size, dtype=np.int8), np.ones(k2.size, dtype=np.int8)]
+    )
+    order = np.argsort(allk, kind="stable")
+    ks, fs = allk[order], flag[order]
+    same_row = (ks[1:] // _ROW_SHIFT) == (ks[:-1] // _ROW_SHIFT)
+    diff_term = fs[1:] != fs[:-1]
+    adj = same_row & diff_term
+    if not adj.any():
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    spans = (ks[1:] - ks[:-1])[adj]
+    rows = (ks[1:] // _ROW_SHIFT)[adj]
+    # min span per row: lexsort then first occurrence of each row
+    o = np.lexsort((spans, rows))
+    rows_s, spans_s = rows[o], spans[o]
+    first = np.ones(rows_s.size, dtype=bool)
+    first[1:] = rows_s[1:] != rows_s[:-1]
+    return rows_s[first], spans_s[first]
 
 
 def _phrase_count(pos_lists: list[np.ndarray]) -> int:
@@ -186,39 +212,69 @@ def _min_cover_span(pos_lists: list[np.ndarray]) -> int:
     return best if best is not None else -1
 
 
+def _intersect_decoded(tps: list[TermPostings]):
+    """→ (decoded, idxs, common) or None when the conjunction is empty."""
+    decoded = [tp.decode_full(with_positions=True) for tp in tps]
+    common = decoded[0][0]
+    for ids, *_ in decoded[1:]:
+        common = np.intersect1d(common, ids, assume_unique=True)
+        if common.size == 0:
+            return None
+    idxs = [np.searchsorted(d[0], common) for d in decoded]
+    return decoded, idxs, common
+
+
 def phrase_topk(ordered_tps: list[TermPostings], n_docs: int, avg_dl: float,
                 k: int, k1: float = BM25_K1, b: float = BM25_B):
-    """Exact-phrase top-k. Two passes over the (small) conjunctive candidate
-    set: first collect phrase tf per doc (df_phrase needs all matches),
-    then score with BM25(tf=phrase count, df=df_phrase)."""
-    matches = []  # (doc_id, tf_phrase, dl)
-    for doc, cursors in _conjunctive_docs(ordered_tps):
-        pos_lists = [c.cur_positions() for c in cursors]
-        tf = _phrase_count(pos_lists)
-        if tf > 0:
-            _, tfs, dls = cursors[0].blocks[cursors[0].bi].decode()
-            matches.append((doc, tf, int(dls[cursors[0].pi])))
-    if not matches:
+    """Exact-phrase top-k, fully vectorized: conjunctive doc intersection,
+    packed-key phrase-start chaining, then BM25 with tf = phrase count and
+    df = number of phrase-matching docs."""
+    got = _intersect_decoded(ordered_tps)
+    if got is None:
         return []
-    df = len(matches)
+    decoded, idxs, common = got
+    keys = _row_pos_keys(decoded, idxs, common.size)
+    rows, tfs = _phrase_rows_vectorized(keys)
+    if rows.size == 0:
+        return []
+    docs = common[rows]
+    dls = decoded[0][2][idxs[0][rows]]
+    df = rows.size
     idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-    scored = [
-        (idf * tf / (tf + k1 * (1.0 - b + b * dl / avg_dl)), doc)
-        for doc, tf, dl in matches
-    ]
-    scored.sort(key=lambda t: (-t[0], t[1]))
-    return [(doc, s) for s, doc in scored[:k]]
+    scores = idf * tfs / (tfs + k1 * (1.0 - b + b * dls / avg_dl))
+    top = np.lexsort((docs, -scores))[:k]
+    return [(int(docs[i]), float(scores[i])) for i in top]
 
 
 def proximity_topk(tps: list[TermPostings], window: int, k: int):
-    """Proximity top-k with the Tesserae distance-weighted score."""
+    """Proximity top-k with the Tesserae distance-weighted score.
+
+    2-term queries (the common case) run fully vectorized; other arities
+    use the per-doc minimal-cover-span sweep."""
+    got = _intersect_decoded(tps)
+    if got is None:
+        return []
+    decoded, idxs, common = got
+    if len(tps) == 2:
+        keys = _row_pos_keys(decoded, idxs, common.size)
+        rows, spans = _min_span_2term_vectorized(keys[0], keys[1])
+        keep = spans <= window
+        rows, spans = rows[keep], spans[keep]
+        if rows.size == 0:
+            return []
+        inv_f = sum(
+            1.0 / decoded[t][1][idxs[t][rows]] for t in range(len(tps))
+        )
+        scores = np.log(inv_f / np.maximum(spans, 1))
+        docs = common[rows]
+        top = np.lexsort((docs, -scores))[:k]
+        return [(int(docs[i]), float(scores[i])) for i in top]
     scored = []
-    for doc, cursors in _conjunctive_docs(tps):
-        pos_lists = [c.cur_positions() for c in cursors]
-        d = _min_cover_span(pos_lists)
+    for doc, _dl, per_term in _conjunctive_matches(tps):
+        d = _min_cover_span([p for _, p in per_term])
         if d < 0 or d > window:
             continue
-        inv_f = sum(1.0 / c.cur_tf() for c in cursors)
+        inv_f = sum(1.0 / tf for tf, _ in per_term)
         scored.append((math.log(inv_f / max(d, 1)), doc))
     scored.sort(key=lambda t: (-t[0], t[1]))
     return [(doc, s) for s, doc in scored[:k]]
@@ -227,6 +283,19 @@ def proximity_topk(tps: list[TermPostings], window: int, k: int):
 # ---------------------------------------------------------------------------
 # distributed batch mode
 # ---------------------------------------------------------------------------
+
+
+_SEARCHER_CACHE: dict[str, "Searcher"] = {}
+
+
+def get_searcher(index_dir: str) -> "Searcher":
+    """Per-process searcher cache: executor python workers are reused across
+    tasks, so the dictionary cache and dataset handles amortize over a
+    whole batch instead of being rebuilt per task."""
+    s = _SEARCHER_CACHE.get(index_dir)
+    if s is None:
+        s = _SEARCHER_CACHE[index_dir] = Searcher(index_dir)
+    return s
 
 
 def search_batch(spark, index_dir: str, queries: list[dict], k: int = 10):
@@ -238,7 +307,7 @@ def search_batch(spark, index_dir: str, queries: list[dict], k: int = 10):
     n_slices = min(len(queries), sc.defaultParallelism) or 1
 
     def run_part(qs):
-        searcher = Searcher(index_dir)
+        searcher = get_searcher(index_dir)
         for q in qs:
             for hit in searcher.search(
                 q["query_text"], k=q.get("k", k), mode=q.get("mode", "bm25"),

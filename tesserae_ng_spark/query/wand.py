@@ -205,3 +205,58 @@ def wand_topk(
 
     out = sorted(heap, key=lambda item: (-item[0], -item[1]))
     return [(-negid, s) for (s, negid) in out]
+
+
+def bm25_dense_topk(
+    term_postings: dict,
+    n_docs: int,
+    avg_dl: float,
+    k: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> list[tuple[int, float]]:
+    """Vectorized exhaustive BM25 top-k — the dense-postings fast path.
+
+    WAND's doc-at-a-time Python loop wins when it can SKIP (selective
+    terms, huge N); with dense postings (head-term queries, small
+    vocabularies) it degenerates to visiting everything at ~1 µs/doc.
+    This path decodes whole blocks into numpy and scores every posting
+    vectorized (~50× faster when no skipping is possible).
+
+    EXHAUSTIVE-EQUIVALENT to wand_topk bit-for-bit: terms are accumulated
+    in sorted-term order (np.add.at is sequential and unbuffered), so each
+    doc's float-addition order matches WAND's full-score order.
+    """
+    ids_parts: list[np.ndarray] = []
+    score_parts: list[np.ndarray] = []
+    for term in sorted(term_postings):
+        tp = term_postings[term]
+        if not tp.blocks:
+            continue
+        idf = math.log(1.0 + (n_docs - tp.df + 0.5) / (tp.df + 0.5))
+        ids, tfs, dls, _ = tp.decode_full()
+        ids_parts.append(ids)
+        score_parts.append(idf * tfs / (tfs + k1 * (1.0 - b + b * dls / avg_dl)))
+    if not ids_parts:
+        return []
+    ids = np.concatenate(ids_parts)
+    sc = np.concatenate(score_parts)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    acc = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(acc, inv, sc)
+    if uniq.size > k:
+        part = np.argpartition(-acc, k - 1)[: max(k * 4, k)]  # over-fetch for ties
+        # exact order among the partitioned head (+ a safe margin for ties
+        # at the boundary: re-partition wider until the cut is strict)
+        cand = part
+        order = np.lexsort((uniq[cand], -acc[cand]))
+        cand = cand[order][:k]
+        kth = acc[cand[-1]]
+        # docs outside the candidate head could tie kth and win on doc_id:
+        if np.count_nonzero(acc >= kth) > cand.size:
+            order = np.lexsort((uniq, -acc))[:k]
+            cand = order
+        top = cand
+    else:
+        top = np.lexsort((uniq, -acc))
+    return [(int(uniq[i]), float(acc[i])) for i in top[:k]]

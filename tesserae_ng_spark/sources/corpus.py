@@ -48,9 +48,13 @@ def _make_html_udf(doc_id: pd.Series, source: pd.Series, text: pd.Series) -> pd.
 
 
 def synthesize_corpus(
-    spark: SparkSession, sf_dir: str, with_dups: bool = True
+    spark: SparkSession, sf_dir: str, with_dups: bool = True, replicas: int = 1
 ) -> DataFrame:
     """documents.parquet → contract-shaped corpus DataFrame.
+
+    ``replicas > 1`` deterministically amplifies the corpus for bench runs:
+    each document repeats under distinct urls (…{doc_id}r{rep}) — text and
+    html identical, so analyzer work scales linearly while staying seeded.
 
     Column pruning note: html generation is a pandas UDF, but it runs only
     in fixture synthesis — the production path reads html from storage.
@@ -62,6 +66,12 @@ def synthesize_corpus(
         F.col("text"),
         F.col("lang"),
     )
+    if replicas > 1:
+        base = base.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+        ).withColumn(
+            "source", F.concat_ws("-r", "source", F.col("rep").cast("string"))
+        ).drop("rep")
     dups = (
         base.filter(F.col("doc_id") % DUP_MOD == 0).withColumn(
             "text", F.substring("text", 1, 100)

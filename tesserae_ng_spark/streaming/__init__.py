@@ -1,0 +1,3 @@
+from tesserae_ng_spark.streaming.incremental import incremental_index_stream
+
+__all__ = ["incremental_index_stream"]

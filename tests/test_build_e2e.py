@@ -8,7 +8,6 @@ from tesserae_ng_spark.index.build import (
     docs_table,
     prepare_docs,
     term_doc_table,
-    tokens_stream,
 )
 from tesserae_ng_spark.query.bm25_oracle import bm25_topk_oracle
 
@@ -39,8 +38,7 @@ def test_asof_latest(spark, corpus):
 def test_build_and_bm25(spark, corpus):
     prepared = prepare_docs(corpus).cache()
     docs = docs_table(prepared).cache()
-    toks = tokens_stream(prepared)
-    td = term_doc_table(toks).cache()
+    td = term_doc_table(prepared).cache()
 
     n_docs_row = corpus_stats(docs).collect()[0]
     n_docs, avg_dl = n_docs_row["n_docs"], n_docs_row["avg_dl"]
@@ -69,7 +67,7 @@ def test_build_and_bm25(spark, corpus):
         td.groupBy("term").count().orderBy(F.desc("count")).limit(5).collect()
     )
     qterm = some[0]["term"]
-    topk = bm25_topk_oracle(td, docs, [qterm], 10, n_docs, avg_dl).collect()
+    topk = bm25_topk_oracle(td, [qterm], 10, n_docs, avg_dl).collect()
     assert 0 < len(topk) <= 10
     assert [r["rank"] for r in topk] == list(range(1, len(topk) + 1))
     # scores non-increasing; ties broken by doc_id asc
@@ -85,7 +83,6 @@ def test_build_and_bm25(spark, corpus):
     top = topk[0]
     row = (
         td.filter((F.col("term") == qterm) & (F.col("doc_id") == top["doc_id"]))
-        .join(docs, "doc_id")
         .collect()[0]
     )
     idf = math.log(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
@@ -93,4 +90,4 @@ def test_build_and_bm25(spark, corpus):
     assert abs(top["score"] - expected) < 1e-9
 
     # absent term → empty result
-    assert bm25_topk_oracle(td, docs, ["zzzznotaterm"], 10, n_docs, avg_dl).count() == 0
+    assert bm25_topk_oracle(td, ["zzzznotaterm"], 10, n_docs, avg_dl).count() == 0

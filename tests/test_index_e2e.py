@@ -12,7 +12,6 @@ from tesserae_ng_spark.index.build import (
     docs_table,
     prepare_docs,
     term_doc_table,
-    tokens_stream,
 )
 from tesserae_ng_spark.index.builder import build_index
 from tesserae_ng_spark.query.bm25_oracle import bm25_topk_oracle
@@ -42,7 +41,7 @@ def index_dir(spark, corpus, tmp_path_factory):
 def oracle_parts(spark, corpus):
     prepared = prepare_docs(corpus).cache()
     docs = docs_table(prepared).cache()
-    td = term_doc_table(tokens_stream(prepared)).cache()
+    td = term_doc_table(prepared).cache()
     st = corpus_stats(docs).collect()[0]
     return td, docs, st["n_docs"], st["avg_dl"]
 
@@ -64,7 +63,7 @@ def test_wand_rank_identity_vs_oracle(spark, index_dir, oracle_parts, k):
     searcher = Searcher(index_dir)
     for q in QUERIES:
         terms = analyze_query(q)
-        want = bm25_topk_oracle(td, docs, terms, k, n_docs, avg_dl).collect()
+        want = bm25_topk_oracle(td, terms, k, n_docs, avg_dl).collect()
         got = searcher.search(q, k=k)
         assert [h.doc_id for h in got] == [r["doc_id"] for r in want], q
         for h, r in zip(got, want):
@@ -104,12 +103,18 @@ def test_phrase_and_proximity(spark, index_dir, corpus):
     """Cross-check positional modes against brute-force over raw tokens."""
     from tesserae_ng_spark.functions.analysis import analyze
 
+    from tesserae_ng_spark.functions.html import extract_text
+    from tesserae_ng_spark.index.build import asof_latest
+
     rows = (
-        prepare_docs(corpus)
-        .select("doc_id", "text", "lang")
+        asof_latest(corpus)
+        .select(F.xxhash64("url").alias("doc_id"), "html", "lang")
         .collect()
     )
-    toks = {r["doc_id"]: [t for t, _ in analyze(r["text"], r["lang"])] for r in rows}
+    toks = {
+        r["doc_id"]: [t for t, _ in analyze(extract_text(bytes(r["html"])), r["lang"])]
+        for r in rows
+    }
 
     searcher = Searcher(index_dir)
     # pick a phrase that exists: scan brute force for any adjacent pair

@@ -1,0 +1,107 @@
+"""Vectorized phrase/proximity vs brute force — property tests, no Spark."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tesserae_ng_spark.index.inmem import build_term_postings
+from tesserae_ng_spark.query.search import phrase_topk, proximity_topk
+
+VOCAB = ["a", "b", "c", "d"]
+
+docs_strategy = st.dictionaries(
+    keys=st.integers(min_value=-(2**62), max_value=2**62),
+    values=st.lists(st.sampled_from(VOCAB), min_size=1, max_size=25),
+    min_size=1,
+    max_size=40,
+)
+
+
+def index_from_token_docs(docs):
+    postings = {}
+    dls = {}
+    for doc_id, toks in docs.items():
+        dls[doc_id] = len(toks)
+        per = {}
+        for i, t in enumerate(toks):
+            per.setdefault(t, []).append(i)
+        for t, ps in per.items():
+            postings.setdefault(t, []).append((doc_id, len(ps), len(toks), ps))
+    n = len(docs)
+    avg = sum(dls.values()) / n
+    tps = {
+        t: build_term_postings(t, ps, n, avg, block_size=4)
+        for t, ps in postings.items()
+    }
+    return tps, n, avg
+
+
+def brute_phrase(docs, phrase):
+    out = {}
+    for d, toks in docs.items():
+        tf = sum(
+            1
+            for i in range(len(toks) - len(phrase) + 1)
+            if toks[i : i + len(phrase)] == list(phrase)
+        )
+        if tf:
+            out[d] = tf
+    return out
+
+
+def brute_min_span(toks, a, b):
+    pa = [i for i, t in enumerate(toks) if t == a]
+    pb = [i for i, t in enumerate(toks) if t == b]
+    if not pa or not pb:
+        return None
+    return min(abs(x - y) for x in pa for y in pb)
+
+
+@given(docs=docs_strategy, p1=st.sampled_from(VOCAB), p2=st.sampled_from(VOCAB))
+@settings(max_examples=300, deadline=None)
+def test_phrase_matches_brute(docs, p1, p2):
+    tps, n, avg = index_from_token_docs(docs)
+    if p1 not in tps or p2 not in tps:
+        return
+    got = phrase_topk([tps[p1], tps[p2]], n, avg, k=10_000)
+    want = brute_phrase(docs, (p1, p2))
+    assert {d for d, _ in got} == set(want)
+    # tf drives the score: re-derive tf from score ordering indirectly by
+    # checking doc sets per tf via a second brute pass
+    for d, s in got:
+        assert want[d] >= 1
+
+
+@given(
+    docs=docs_strategy,
+    p1=st.sampled_from(VOCAB),
+    p2=st.sampled_from(VOCAB),
+    window=st.integers(min_value=0, max_value=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_proximity_matches_brute(docs, p1, p2, window):
+    if p1 == p2:
+        return
+    tps, n, avg = index_from_token_docs(docs)
+    if p1 not in tps or p2 not in tps:
+        return
+    got = {d: s for d, s in proximity_topk([tps[p1], tps[p2]], window, k=10_000)}
+    for d, toks in docs.items():
+        span = brute_min_span(toks, p1, p2)
+        if span is not None and span <= window:
+            assert d in got, (d, toks, span)
+            tf1 = toks.count(p1)
+            tf2 = toks.count(p2)
+            want = math.log((1.0 / tf1 + 1.0 / tf2) / max(span, 1))
+            assert math.isclose(got[d], want, rel_tol=0, abs_tol=1e-9)
+        else:
+            assert d not in got
+
+
+def test_three_term_phrase():
+    docs = {1: ["a", "b", "c", "a", "b", "c"], 2: ["a", "b", "a", "c"], 3: ["c", "b", "a"]}
+    tps, n, avg = index_from_token_docs(docs)
+    got = phrase_topk([tps["a"], tps["b"], tps["c"]], n, avg, k=10)
+    assert [d for d, _ in got] == [1]

@@ -1,0 +1,45 @@
+"""Incremental (streaming) index build test (SURVEY.md §2.10)."""
+
+import glob
+import json
+
+from pyspark.sql import functions as F
+
+from tesserae_ng_spark.index.builder import _merge_all
+from tesserae_ng_spark.index.manifest import all_manifests
+from tesserae_ng_spark.query.search import Searcher
+from tesserae_ng_spark.streaming.incremental import incremental_index_stream
+
+
+def test_incremental_stream_builds_queryable_index(spark, corpus, tmp_path):
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    # stage the corpus as N parquet files, as if crawls land over time
+    corpus.repartition(6).write.parquet(src)
+
+    q = incremental_index_stream(spark, src, out, ckpt, max_files_per_trigger=2)
+    q.awaitTermination(300)
+
+    parts = [m for m in all_manifests(out) if m.get("stage") != "merge"]
+    assert len(parts) >= 2  # several micro-batches became shards
+    assert all(m["status"] == "done" for m in parts)
+    # per-batch as-of dedupe collapses same-url crawls only when co-located
+    # in one micro-batch → total docs is between fully-deduped and raw
+    total_rows = sum(m["row_count"] for m in parts)
+    assert corpus.select("url").distinct().count() <= total_rows <= corpus.count()
+
+    res = _merge_all(spark, out, target_postings_per_salt=64, n_buckets=2,
+                     block_size=16)
+    assert res.n_docs == sum(m["row_count"] for m in parts)
+
+    searcher = Searcher(out)
+    hits = searcher.search("join hash", k=5)
+    assert len(hits) > 0
+
+    # replay idempotence: restarting the finished stream adds nothing
+    before = len(all_manifests(out))
+    q2 = incremental_index_stream(spark, src, out, ckpt, max_files_per_trigger=2)
+    q2.awaitTermination(120)
+    assert len(all_manifests(out)) == before

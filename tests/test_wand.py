@@ -7,7 +7,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from tesserae_ng_spark.index.inmem import build_term_postings, exhaustive_topk
-from tesserae_ng_spark.query.wand import wand_topk
+from tesserae_ng_spark.query.wand import bm25_dense_topk, wand_topk
 
 
 def make_index(corpus, dls, block_size):
@@ -53,12 +53,12 @@ def test_wand_equals_exhaustive(corpus, qsize, k, block_size, seed):
     tps, n_docs, avg_dl = make_index(corpus, dls, block_size)
     fetched = {t: tps[t] for t in set(query) if t in tps}
 
-    got = wand_topk(fetched, n_docs, avg_dl, k)
     want = exhaustive_topk(corpus, dls, query, k, avg_dl)
-
-    assert [d for d, _ in got] == [d for d, _ in want]
-    for (gd, gs), (wd, ws) in zip(got, want):
-        assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-9), (gd, gs, ws)
+    for scorer in (wand_topk, bm25_dense_topk):
+        got = scorer(fetched, n_docs, avg_dl, k)
+        assert [d for d, _ in got] == [d for d, _ in want], scorer.__name__
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-9), (scorer.__name__, gd, gs, ws)
 
 
 def test_wand_absent_and_empty():
