@@ -106,6 +106,15 @@ analyze_udf = analyze_udf_factory()
 # tf + positions grouped per term INSIDE the UDF, so the index build needs
 # no token-level shuffle at all — (doc, term, tf, positions) rows come out
 # of the scan stage directly (SURVEY.md §3.1 stage 3-4 fused).
+#
+# Two output layouts:
+# - DOC_TERMS_STRUCT: array<struct<term,tf,positions:array<int>>> — the
+#   logical/oracle shape (readable positions).
+# - DOC_VECTOR_STRUCT: flat primitive arrays + ONE varint position stream
+#   per doc — the INDEX BUILD shape. Nested list-of-struct columns cost
+#   ~10× more to cross the Arrow boundary than primitive arrays + a single
+#   binary blob; downstream the JVM explodes arrays_zip and slices the
+#   stream with substring(pos, off, len) — zero Python per posting.
 # ---------------------------------------------------------------------------
 
 DOC_TERMS_STRUCT = T.ArrayType(
@@ -141,3 +150,69 @@ def doc_terms_udf_factory():
 
 
 doc_terms_udf = doc_terms_udf_factory()
+
+
+DOC_VECTOR_STRUCT = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(T.StringType()), False),
+        T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
+        T.StructField("offs", T.ArrayType(T.IntegerType()), False),
+        T.StructField("lens", T.ArrayType(T.IntegerType()), False),
+        T.StructField("pos", T.BinaryType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+    ]
+)
+
+
+def _varint_delta_into(ps: list[int], out: bytearray) -> None:
+    """Append [abs(first), gaps...] as LEB128 to ``out`` — identical stream
+    layout to index.codec.encode_positions (decode_positions reads both)."""
+    prev = 0
+    first = True
+    for p in ps:
+        v = p if first else p - prev
+        first = False
+        prev = p
+        while v >= 0x80:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+
+
+def doc_vector(text: str | None, lang: str | None = "en",
+               _memo: dict | None = None) -> tuple:
+    """Flat per-doc term vector: (terms, tfs, offs, lens, pos_stream, dl),
+    terms sorted; per-term positions occupy pos_stream[offs[i]:offs[i]+lens[i]]."""
+    toks = analyze(text, lang, _memo=_memo)
+    agg: dict[str, list[int]] = {}
+    for term, pos in toks:
+        agg.setdefault(term, []).append(pos)
+    terms: list[str] = []
+    tfs: list[int] = []
+    offs: list[int] = []
+    lens: list[int] = []
+    buf = bytearray()
+    for t in sorted(agg):
+        ps = agg[t]
+        off = len(buf)
+        _varint_delta_into(ps, buf)
+        terms.append(t)
+        tfs.append(len(ps))
+        offs.append(off)
+        lens.append(len(buf) - off)
+    return (terms, tfs, offs, lens, bytes(buf), len(toks))
+
+
+def doc_vector_udf_factory():
+    @F.pandas_udf(DOC_VECTOR_STRUCT)
+    def _doc_vec(text: pd.Series, lang: pd.Series) -> pd.DataFrame:
+        memo: dict[str, str] = {}
+        rows = [doc_vector(t, lg, _memo=memo) for t, lg in zip(text, lang)]
+        return pd.DataFrame(
+            rows, columns=["terms", "tfs", "offs", "lens", "pos", "dl"]
+        )
+
+    return _doc_vec
+
+
+doc_vector_udf = doc_vector_udf_factory()

@@ -27,16 +27,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tesserae_ng_spark.functions.analysis import doc_terms_udf
+from tesserae_ng_spark.functions.analysis import doc_vector_udf
 from tesserae_ng_spark.functions.html import html_extract_udf
 
 # Optimizer hint, not semantics (both functions are pure/deterministic —
 # rank-identity depends on it): asNondeterministic() stops CollapseProject
-# from DUPLICATING the Arrow UDF evaluation when a later projection (the
-# dl aggregate) references the UDF output column. Without it the analyzer
-# chain runs twice per row.
+# from DUPLICATING the Arrow UDF evaluation when later projections extract
+# several fields from the UDF output struct. Without it the analyzer chain
+# runs once per extracted field.
 _html_extract = html_extract_udf.asNondeterministic()
-_doc_terms = doc_terms_udf.asNondeterministic()
+_doc_vector = doc_vector_udf.asNondeterministic()
 
 
 def asof_latest(corpus: DataFrame) -> DataFrame:
@@ -58,7 +58,9 @@ def prepare_docs(
     lang: str | None = None,
     use_stored_text: bool = False,
 ) -> DataFrame:
-    """corpus → (doc_id, url, lang, dl, doc_terms).
+    """corpus → (doc_id, url, lang, terms, tfs, offs, lens, pos, dl):
+    flat per-doc term vectors (primitive arrays + one varint position
+    stream — cheap across the Arrow boundary; see functions/analysis.py).
 
     ``lang`` filter is applied FIRST so Catalyst pushes it into the scan
     (partition pruning on Iceberg, row-group skip on parquet).
@@ -82,13 +84,16 @@ def prepare_docs(
         F.xxhash64("url").alias("doc_id"),
         "url",
         "lang",
-        _doc_terms(text, F.col("lang")).alias("doc_terms"),
+        _doc_vector(text, F.col("lang")).alias("dv"),
     )
-    return df.withColumn(
-        "dl",
-        F.aggregate(
-            "doc_terms", F.lit(0), lambda acc, x: acc + x["tf"]
-        ).cast("int"),
+    return df.select(
+        "doc_id", "url", "lang",
+        F.col("dv.terms").alias("terms"),
+        F.col("dv.tfs").alias("tfs"),
+        F.col("dv.offs").alias("offs"),
+        F.col("dv.lens").alias("lens"),
+        F.col("dv.pos").alias("pos"),
+        F.col("dv.dl").alias("dl"),
     )
 
 
@@ -98,25 +103,52 @@ def docs_table(prepared: DataFrame) -> DataFrame:
 
 
 def term_doc_table(prepared: DataFrame) -> DataFrame:
-    """Uncompressed positional postings: (term, doc_id, tf, positions, dl).
+    """Uncompressed positional postings: (term, doc_id, tf, positions, dl)
+    with ``positions`` as the ENGINE's varint byte slice (abs-first +
+    gaps; index/codec.py stream layout).
 
-    A narrow explode of the per-doc term vectors — no shuffle. Positions
-    are ascending by construction (token ordinals in document order).
+    A narrow explode of the per-doc term vectors — no shuffle, and the
+    position slicing is a JVM binary substring: zero Python per posting.
     """
-    return prepared.select(
-        "doc_id", "dl", F.explode("doc_terms").alias("tv")
-    ).select(
-        F.col("tv.term").alias("term"),
+    z = prepared.select(
+        "doc_id", "dl", "pos",
+        F.posexplode(F.arrays_zip("terms", "tfs", "offs", "lens")).alias("i", "z"),
+    )
+    return z.select(
+        F.col("z.terms").alias("term"),
         "doc_id",
-        F.col("tv.tf").alias("tf"),
-        F.col("tv.positions").alias("positions"),
+        F.col("z.tfs").alias("tf"),
+        F.expr("substring(pos, z.offs + 1, z.lens)").alias("positions"),
         "dl",
     )
 
 
+def term_doc_decoded(prepared: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, positions array<int>, dl) — oracle/test shape:
+    positions decoded from the engine byte slices (Arrow-batched)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tesserae_ng_spark.index.codec import varint_decode
+
+    def _decode_series(buf):
+        import numpy as np
+
+        def dec(b):
+            d = varint_decode(bytes(b)).astype("int64")
+            return np.cumsum(d).astype("int32").tolist()
+
+        return buf.map(dec)
+
+    _decode = F.pandas_udf(_decode_series, T.ArrayType(T.IntegerType()))
+
+    td = term_doc_table(prepared)
+    return td.withColumn("positions", _decode("positions"))
+
+
 def tokens_stream(prepared: DataFrame) -> DataFrame:
     """(doc_id, term, pos) token-occurrence stream (diagnostics/oracles)."""
-    td = term_doc_table(prepared)
+    td = term_doc_decoded(prepared)
     return td.select(
         "doc_id", "term", F.explode("positions").alias("pos")
     )

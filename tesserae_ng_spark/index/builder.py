@@ -154,23 +154,22 @@ def _build_partition(
     # with NO token-level shuffle and no dl join (build.py)
     td_dl = term_doc_table(prepared)
     if not with_positions:
-        td_dl = td_dl.withColumn("positions", F.lit(None).cast("array<int>"))
+        td_dl = td_dl.withColumn("positions", F.lit(None).cast("binary"))
     blocks = encode_shard_blocks(td_dl, block_size)
     blocks_path = f"{out_dir}/shards/postings/part={part}"
     blocks.write.mode("overwrite").parquet(blocks_path)
-    prepared.unpersist()
 
-    # metrics + checksum from the written data (read-back = what the merge
-    # will actually consume)
-    written = spark.read.parquet(blocks_path)
-    docs_written = spark.read.parquet(docs_path)
-    agg = written.agg(
+    # doc metrics from the cached prepared frame (no parquet re-read);
+    # block metrics + checksum from the written data (read-back = exactly
+    # what the merge will consume)
+    stats = prepared.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("tokens")
+    ).collect()[0]
+    prepared.unpersist()
+    agg = spark.read.parquet(blocks_path).agg(
         F.count("*").alias("blocks"),
         F.countDistinct("term").alias("terms"),
         F.sum(F.crc32(F.col("doc_ids"))).alias("crc"),
-    ).collect()[0]
-    stats = docs_written.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("tokens")
     ).collect()[0]
     write_manifest(
         out_dir,
@@ -233,9 +232,8 @@ def _merge_all(
         "overwrite"
     ).parquet(f"{out_dir}/dictionary")
 
-    docs = spark.read.parquet(f"{out_dir}/shards/docs")
-    docs.write.mode("overwrite").parquet(f"{out_dir}/docs")
-
+    # docs stay where the shards wrote them (shards/docs/part=*) — readers
+    # fall back there; re-copying terabytes of doc metadata buys nothing
     dagg = spark.read.parquet(f"{out_dir}/dictionary").agg(
         F.count("*").alias("terms"), F.sum("n_blocks").alias("blocks")
     ).collect()[0]

@@ -112,6 +112,23 @@ def concat_decode_ids(bufs: list[bytes], counts: np.ndarray) -> np.ndarray:
     return from_u64(glob - base)
 
 
+def split_varint_stream(buf: bytes, counts: np.ndarray) -> list[bytes]:
+    """Split one varint stream into byte chunks of ``counts[k]`` values each
+    — WITHOUT decoding values. Chunk k stays a valid stream (our position
+    chunks start with an absolute value). Vectorized boundary scan."""
+    counts = np.asarray(counts, dtype=np.int64)
+    if len(buf) == 0:
+        return [b""] * counts.size
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    ends = np.nonzero((arr & 0x80) == 0)[0]  # last byte index of each value
+    cum = np.cumsum(counts)
+    chunk_ends = ends[cum - 1] + 1
+    chunk_starts = np.empty_like(chunk_ends)
+    chunk_starts[0] = 0
+    chunk_starts[1:] = chunk_ends[:-1]
+    return [buf[s:e] for s, e in zip(chunk_starts, chunk_ends)]
+
+
 def encode_positions(positions_per_doc: list, tfs: np.ndarray) -> bytes:
     """Per-doc sorted position lists → concatenated delta varints.
 

@@ -22,11 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from tesserae_ng_spark.index.codec import (
-    delta_encode_ids,
-    encode_positions,
-    varint_encode,
-)
+from tesserae_ng_spark.index.codec import delta_encode_ids, varint_encode
 from tesserae_ng_spark.schemas import BLOCK_SIZE
 
 SHARD_BLOCK_SCHEMA = T.StructType(
@@ -46,18 +42,24 @@ SHARD_BLOCK_SCHEMA = T.StructType(
 
 
 def encode_term_group(pdf: pd.DataFrame, block_size: int = BLOCK_SIZE) -> pd.DataFrame:
-    """One term's shard postings → block rows. Pure function (testable)."""
+    """One term's shard postings → block rows. Pure function (testable).
+
+    ``positions`` arrives as per-posting varint byte slices (already in the
+    final stream layout — build.py sliced them JVM-side), so a block's
+    positions column is a plain byte join: no numeric re-encode.
+    """
     pdf = pdf.sort_values("doc_id", kind="mergesort")
     term = pdf["term"].iloc[0]
     doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["dl"].to_numpy(dtype=np.int64)
-    pos_lists = pdf["positions"].tolist()
+    pos_col = pdf["positions"]
+    has_pos = pos_col.iloc[0] is not None if len(pdf) else False
+    pos_chunks = pos_col.tolist() if has_pos else None
     rows = []
     for b, start in enumerate(range(0, len(pdf), block_size)):
-        sl = slice(start, start + block_size)
+        sl = slice(start, min(start + block_size, len(pdf)))
         ids, tf_b, dl_b = doc_ids[sl], tfs[sl], dls[sl]
-        pos_b = pos_lists[sl.start : min(sl.stop, len(pos_lists))]
         rows.append(
             {
                 "term": term,
@@ -69,14 +71,14 @@ def encode_term_group(pdf: pd.DataFrame, block_size: int = BLOCK_SIZE) -> pd.Dat
                 "doc_ids": delta_encode_ids(ids),
                 "tfs": varint_encode(tf_b.astype(np.uint64)),
                 "dls": varint_encode(dl_b.astype(np.uint64)),
-                "positions": encode_positions(pos_lists_as_arrays(pos_b), tf_b),
+                "positions": (
+                    b"".join(bytes(c) for c in pos_chunks[sl.start : sl.stop])
+                    if has_pos
+                    else None
+                ),
             }
         )
     return pd.DataFrame(rows)
-
-
-def pos_lists_as_arrays(pos_b) -> list:
-    return [np.asarray(p, dtype=np.int64) for p in pos_b]
 
 
 def encode_shard_blocks(term_doc_dl: DataFrame, block_size: int = BLOCK_SIZE) -> DataFrame:

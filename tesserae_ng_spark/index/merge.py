@@ -36,10 +36,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tesserae_ng_spark.index.codec import (
-    decode_positions,
     delta_decode_ids,
     delta_encode_ids,
-    encode_positions,
+    split_varint_stream,
     to_u64,
     varint_decode,
     varint_encode,
@@ -112,7 +111,9 @@ def merge_shard_blocks(
             tfs = varint_decode(r.tfs).astype(np.int64)
             dls = varint_decode(r.dls).astype(np.int64)
             if r.positions is not None and len(r.positions):
-                pos = decode_positions(r.positions, tfs)
+                # per-doc byte chunks, NO value decode (chunks are
+                # self-contained: absolute first position per doc)
+                pos = split_varint_stream(bytes(r.positions), tfs)
             else:
                 pos = None
                 has_pos = False
@@ -138,7 +139,7 @@ def merge_shard_blocks(
         order = np.argsort(all_ids, kind="mergesort")
         all_ids, all_tfs, all_dls = all_ids[order], all_tfs[order], all_dls[order]
         if has_pos and pos_parts:
-            flat_pos = [p for part in pos_parts for p in part]
+            flat_pos = [c for part in pos_parts for c in part]
             all_pos = [flat_pos[i] for i in order]
         else:
             all_pos = None
@@ -148,7 +149,7 @@ def merge_shard_blocks(
         rows = []
         for bi, start in enumerate(range(0, all_ids.size, block_size)):
             sl = slice(start, min(start + block_size, all_ids.size))
-            ids_b, tfs_b, dls_b = all_ids[sl], all_tfs[sl], all_dls[sl]
+            ids_b, tfs_b = all_ids[sl], all_tfs[sl]
             rows.append(
                 {
                     "term": term,
@@ -160,9 +161,9 @@ def merge_shard_blocks(
                     "block_max_score": float(scores[sl].max()),
                     "doc_ids": delta_encode_ids(ids_b),
                     "tfs": varint_encode(tfs_b.astype(np.uint64)),
-                    "dls": varint_encode(dls_b.astype(np.uint64)),
+                    "dls": varint_encode(all_dls[sl].astype(np.uint64)),
                     "positions": (
-                        encode_positions(all_pos[sl.start : sl.stop], tfs_b)
+                        b"".join(all_pos[sl.start : sl.stop])
                         if all_pos is not None
                         else None
                     ),

@@ -60,7 +60,12 @@ def ensure_es_index(spark, sf_dir: str) -> str:
 
 
 def _docs_with_orig_id(spark, index_dir: str):
-    return spark.read.parquet(f"{index_dir}/docs").select(
+    import os
+
+    p = f"{index_dir}/docs"
+    if not os.path.exists(p):
+        p = f"{index_dir}/shards/docs"
+    return spark.read.parquet(p).select(
         "doc_id",
         F.regexp_extract("url", r"(\d{8})$", 1).cast("long").alias("orig_id"),
     )

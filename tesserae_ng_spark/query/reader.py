@@ -255,8 +255,12 @@ class IndexReader:
             )
         return out
 
+    def docs_path(self) -> str:
+        p = os.path.join(self.index_dir, "docs")
+        return p if os.path.exists(p) else os.path.join(self.index_dir, "shards", "docs")
+
     def doc_urls(self, doc_ids: list[int]) -> dict[int, str]:
-        d = ds.dataset(os.path.join(self.index_dir, "docs"))
+        d = ds.dataset(self.docs_path())
         tbl = d.to_table(
             columns=["doc_id", "url"], filter=pc.field("doc_id").isin(doc_ids)
         )

@@ -33,8 +33,10 @@ from tesserae_ng_spark.query.wand import bm25_dense_topk, wand_topk
 from tesserae_ng_spark.schemas import BM25_B, BM25_K1
 
 # below this many total postings, vectorized exhaustive scoring beats the
-# skip-capable doc-at-a-time loop (which only wins when it can skip)
-DENSE_POSTINGS_CUTOFF = 1 << 20
+# skip-capable doc-at-a-time loop: selective (low-df) queries are small
+# enough to score outright, while huge head-term unions are exactly where
+# block-max skipping pays. ~16M postings ≈ the numpy/WAND crossover here.
+DENSE_POSTINGS_CUTOFF = 1 << 24
 
 
 @dataclass

@@ -72,6 +72,9 @@ def synthesize_corpus(
         ).withColumn(
             "source", F.concat_ws("-r", "source", F.col("rep").cast("string"))
         ).drop("rep")
+        # documents.parquet is a single file → one input partition; spread
+        # the exploded rows so the html-template UDF runs on every core
+        base = base.repartition(spark.sparkContext.defaultParallelism * 2)
     dups = (
         base.filter(F.col("doc_id") % DUP_MOD == 0).withColumn(
             "text", F.substring("text", 1, 100)

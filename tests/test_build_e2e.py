@@ -7,7 +7,7 @@ from tesserae_ng_spark.index.build import (
     corpus_stats,
     docs_table,
     prepare_docs,
-    term_doc_table,
+    term_doc_decoded,
 )
 from tesserae_ng_spark.query.bm25_oracle import bm25_topk_oracle
 
@@ -38,7 +38,7 @@ def test_asof_latest(spark, corpus):
 def test_build_and_bm25(spark, corpus):
     prepared = prepare_docs(corpus).cache()
     docs = docs_table(prepared).cache()
-    td = term_doc_table(prepared).cache()
+    td = term_doc_decoded(prepared).cache()
 
     n_docs_row = corpus_stats(docs).collect()[0]
     n_docs, avg_dl = n_docs_row["n_docs"], n_docs_row["avg_dl"]

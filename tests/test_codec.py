@@ -63,6 +63,28 @@ def test_positions_roundtrip(pos_lists):
         assert got.tolist() == want
 
 
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=100000), min_size=1, max_size=30),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_split_varint_stream_roundtrip(pos_lists):
+    from tesserae_ng_spark.index.codec import split_varint_stream
+
+    pos_lists = [sorted(set(p)) or [0] for p in pos_lists]
+    tfs = np.array([len(p) for p in pos_lists], dtype=np.int64)
+    stream = encode_positions(pos_lists, tfs)
+    chunks = split_varint_stream(stream, tfs)
+    assert b"".join(chunks) == stream
+    # each chunk independently decodes to its doc's positions
+    for chunk, want in zip(chunks, pos_lists):
+        got = np.cumsum(varint_decode(chunk).astype(np.int64)).tolist()
+        assert got == want
+
+
 def test_empty_everything():
     assert varint_encode(np.empty(0, dtype=np.uint64)) == b""
     assert varint_decode(b"").size == 0

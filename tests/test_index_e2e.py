@@ -11,7 +11,7 @@ from tesserae_ng_spark.index.build import (
     corpus_stats,
     docs_table,
     prepare_docs,
-    term_doc_table,
+    term_doc_decoded,
 )
 from tesserae_ng_spark.index.builder import build_index
 from tesserae_ng_spark.query.bm25_oracle import bm25_topk_oracle
@@ -41,7 +41,7 @@ def index_dir(spark, corpus, tmp_path_factory):
 def oracle_parts(spark, corpus):
     prepared = prepare_docs(corpus).cache()
     docs = docs_table(prepared).cache()
-    td = term_doc_table(prepared).cache()
+    td = term_doc_decoded(prepared).cache()
     st = corpus_stats(docs).collect()[0]
     return td, docs, st["n_docs"], st["avg_dl"]
 
