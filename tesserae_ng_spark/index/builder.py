@@ -211,12 +211,15 @@ def _merge_all(
     postings = postings.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
     )
-    # sort within partitions by term so parquet row-group stats prune
-    # `term IN (...)` fetches at query time
+    # sort within partitions by term AND write small row groups: parquet
+    # min/max stats prune `term IN (...)` per row group, so a query reads
+    # ~its terms' bytes instead of decompressing a whole 128 MB default
+    # row group per bucket (measured: 86 s → sub-second cold fetch)
     (
         postings.repartition(n_buckets, "bucket")
         .sortWithinPartitions("term", "salt", "block_id")
         .write.mode("overwrite")
+        .option("parquet.block.size", 4 << 20)
         .partitionBy("bucket")
         .parquet(f"{out_dir}/postings")
     )

@@ -181,6 +181,32 @@ def blockmax_wand(spark, sf):
     return spark.createDataFrame(rows, "orig_id long, score double")
 
 
+@register("streaming_incremental", None)  # streaming lineage → rows-only
+def streaming_incremental(spark, sf):
+    """Incremental (Structured Streaming) ingest: stage the corpus as files,
+    run the availableNow foreachBatch build, return per-batch manifests.
+    Exercises readStream → idempotent shard build → lineage end-to-end."""
+    import tempfile
+
+    from tesserae_ng_spark.index.manifest import all_manifests
+    from tesserae_ng_spark.sources.corpus import synthesize_corpus
+    from tesserae_ng_spark.streaming.incremental import incremental_index_stream
+
+    base = tempfile.mkdtemp(prefix="tng_stream_")
+    src, out, ckpt = f"{base}/in", f"{base}/idx", f"{base}/ckpt"
+    synthesize_corpus(spark, sf).repartition(4).write.parquet(src)
+    q = incremental_index_stream(spark, src, out, ckpt, max_files_per_trigger=2)
+    q.awaitTermination(300)
+    rows = [
+        (m["partition_id"], m["status"], m.get("row_count", 0))
+        for m in all_manifests(out)
+        if m.get("stage") != "merge"
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "partition_id int, status string, row_count long"
+    )
+
+
 @register("checkpoint_resume", None)  # lineage metadata → rows-only
 def checkpoint_resume(spark, sf):
     from tesserae_ng_spark.index.manifest import all_manifests

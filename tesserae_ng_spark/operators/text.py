@@ -41,6 +41,19 @@ def tokenize_key(spark, sf):
     )
 
 
+@register(
+    "lowercase_fold",
+    "SELECT doc_id, lower(text) AS folded FROM documents",
+)
+def lowercase_fold(spark, sf):
+    # the analyzer chain's normalize step as a standalone column op
+    # (inside the UDF chain it's pd.Series.str.lower; column-level it's
+    # JVM lower() — same byte semantics for this corpus).
+    return t(spark, sf, "documents").select(
+        "doc_id", F.lower("text").alias("folded")
+    )
+
+
 @register("stem", None)  # Porter is not SQL-expressible → rows-only check
 def stem_key(spark, sf):
     from tesserae_ng_spark.functions.analysis import analyze_udf

@@ -122,15 +122,17 @@ class TermPostings:
     _full: tuple | None = None
 
     def decode_full(self, with_positions: bool = False) -> tuple:
-        """Decode ALL blocks in one concatenated pass → (ids, tfs, dls[,
-        positions_per_doc]). ~50× fewer numpy calls than per-block decode —
-        the dense-path fast lane. Cached."""
+        """Decode ALL blocks in one concatenated pass → (ids, tfs, dls,
+        pos_flat, pos_offsets). Positions come back FLAT (absolute values)
+        with per-posting offsets — one array regardless of df, so callers
+        gather with vectorized indexing instead of touching millions of
+        per-doc objects. pos_flat/pos_offsets are None unless requested.
+        Cached."""
         import numpy as _np
 
         from tesserae_ng_spark.index.codec import (
             concat_decode_ids,
             concat_decode_varints,
-            decode_positions,
         )
 
         need_pos = with_positions
@@ -140,12 +142,21 @@ class TermPostings:
         ids = concat_decode_ids([b._doc_ids for b in self.blocks], counts)
         tfs = concat_decode_varints([b._tfs for b in self.blocks]).astype(_np.int64)
         dls = concat_decode_varints([b._dls for b in self.blocks]).astype(_np.int64)
-        pos = None
+        pos_flat = None
+        pos_offs = None
         if need_pos:
             if any(b._positions is None for b in self.blocks):
                 raise RuntimeError("index built without positions")
-            pos = decode_positions(b"".join(b._positions for b in self.blocks), tfs)
-        self._full = (ids, tfs, dls, pos)
+            d = concat_decode_varints(
+                [b._positions for b in self.blocks]
+            ).astype(_np.int64)
+            # undo per-doc delta: global cumsum minus per-segment base
+            offs = _np.cumsum(tfs) - tfs
+            glob = _np.cumsum(d)
+            seg_base = glob[offs] - d[offs]
+            pos_flat = (glob - _np.repeat(seg_base, tfs)).astype(_np.int32)
+            pos_offs = offs
+        self._full = (ids, tfs, dls, pos_flat, pos_offs)
         return self._full
 
 
@@ -254,6 +265,21 @@ class IndexReader:
                 blocks=[b for _, _, b in lst],
             )
         return out
+
+    def global_doc_ids(self):
+        """Sorted array of every doc_id in the index (lazy, cached).
+
+        Backs the dense global-accumulator scorer: term postings map once
+        to global row numbers, then every query is one scatter-add per
+        term. 8 bytes/doc — fine to ~100M docs per query node; beyond
+        that, shard the index (batch mode already runs per-shard)."""
+        if getattr(self, "_global_docs", None) is None:
+            import numpy as np
+
+            d = ds.dataset(self.docs_path())
+            arr = d.to_table(columns=["doc_id"]).column("doc_id").to_numpy()
+            self._global_docs = np.sort(arr)
+        return self._global_docs
 
     def docs_path(self) -> str:
         p = os.path.join(self.index_dir, "docs")

@@ -29,8 +29,12 @@ import numpy as np
 
 from tesserae_ng_spark.functions.analysis import analyze_query
 from tesserae_ng_spark.query.reader import IndexReader, TermPostings
-from tesserae_ng_spark.query.wand import bm25_dense_topk, wand_topk
+from tesserae_ng_spark.query.wand import bm25_dense_topk, bm25_global_topk, wand_topk
 from tesserae_ng_spark.schemas import BM25_B, BM25_K1
+
+# per-node cap for the dense global accumulator (8B/doc); larger indexes
+# are sharded across executors in batch mode anyway
+GLOBAL_ACC_MAX_DOCS = 100_000_000
 
 # below this many total postings, vectorized exhaustive scoring beats the
 # skip-capable doc-at-a-time loop: selective (low-df) queries are small
@@ -60,15 +64,23 @@ class Searcher:
         if not fetched:
             return []
         if mode == "bm25":
-            # hybrid: both paths are exhaustive-equivalent (property-tested);
-            # pick by how much skipping is even possible
+            # three exhaustive-equivalent scorers, picked by shape:
+            # - global accumulator: dense postings + index fits a per-node
+            #   row map (scatter-add per term, per-term work cached)
+            # - vectorized dense: small posting unions, no global map
+            # - block-max WAND: huge unions where skipping pays
             total_postings = sum(tp.df for tp in fetched.values())
-            scorer = (
-                bm25_dense_topk
-                if total_postings <= DENSE_POSTINGS_CUTOFF
-                else wand_topk
-            )
-            top = scorer(fetched, self.reader.n_docs, self.reader.avg_dl, k)
+            if total_postings > DENSE_POSTINGS_CUTOFF:
+                top = wand_topk(fetched, self.reader.n_docs, self.reader.avg_dl, k)
+            elif self.reader.n_docs <= GLOBAL_ACC_MAX_DOCS:
+                top = bm25_global_topk(
+                    fetched, self.reader.global_doc_ids(),
+                    self.reader.n_docs, self.reader.avg_dl, k,
+                )
+            else:
+                top = bm25_dense_topk(
+                    fetched, self.reader.n_docs, self.reader.avg_dl, k
+                )
         elif mode == "phrase":
             ordered = [fetched[t] for t in terms if t in fetched]
             if len(ordered) < len(terms):
@@ -90,29 +102,24 @@ class Searcher:
 
 
 def _conjunctive_matches(tps: list[TermPostings]):
-    """Vectorized conjunctive intersection with positions.
+    """Per-doc conjunctive iteration with positions (generic-arity path).
 
-    Yields (doc_id, [(tf_t, positions_t) per term]) for docs containing ALL
-    terms. Full-decode per term (one concatenated numpy pass), intersect
-    doc-id arrays (each unique+sorted), then walk ONLY the matching docs.
+    Yields (doc_id, dl, [(tf_t, positions_t) per term]) for docs containing
+    ALL terms. Positions slice out of the flat per-term arrays by offset —
+    no per-posting objects exist until a doc actually matches.
     """
-    if not tps:
+    got = _intersect_decoded(tps)
+    if got is None:
         return
-    decoded = [tp.decode_full(with_positions=True) for tp in tps]
-    common = decoded[0][0]
-    for ids, *_ in decoded[1:]:
-        common = np.intersect1d(common, ids, assume_unique=True)
-        if common.size == 0:
-            return
-    # per-term row index of each common doc (searchsorted: ids are sorted)
-    idxs = [np.searchsorted(ids, common) for ids, *_ in decoded]
+    decoded, idxs, common = got
     for row, doc in enumerate(common):
         per_term = []
         dl = 0
-        for t, (ids, tfs, dls, pos) in enumerate(decoded):
+        for t, (ids, tfs, dls, pos_flat, pos_offs) in enumerate(decoded):
             i = int(idxs[t][row])
             dl = int(dls[i])
-            per_term.append((int(tfs[i]), pos[i]))
+            o = int(pos_offs[i])
+            per_term.append((int(tfs[i]), pos_flat[o : o + int(tfs[i])]))
         yield int(doc), dl, per_term
 
 
@@ -122,17 +129,21 @@ _ROW_SHIFT = np.int64(1) << np.int64(21)  # positions < 2^21 (dl < 2M tokens)
 def _row_pos_keys(decoded, idxs, n_common):
     """Per term: pack (common-row, position) into one sortable int64 key.
     Rows (not raw doc ids — those span the full int64 range) make the
-    packing safe: row < n_common, pos < 2^21."""
+    packing safe: row < n_common, pos < 2^21. Positions gather out of the
+    flat array with one vectorized fancy-index — no per-doc objects."""
     keys = []
-    for t, (ids, tfs, dls, pos) in enumerate(decoded):
+    for t, (ids, tfs, dls, pos_flat, pos_offs) in enumerate(decoded):
         sel = idxs[t]
         counts = tfs[sel]
+        total = int(counts.sum())
         rows = np.repeat(np.arange(len(sel), dtype=np.int64), counts)
-        pos_sel = (
-            np.concatenate([pos[i] for i in sel]).astype(np.int64)
-            if len(sel)
-            else np.empty(0, dtype=np.int64)
+        # flat gather: start offset of each selected posting + within-run arange
+        run_starts = np.cumsum(counts) - counts
+        gather = (
+            np.repeat(pos_offs[sel], counts)
+            + (np.arange(total, dtype=np.int64) - np.repeat(run_starts, counts))
         )
+        pos_sel = pos_flat[gather].astype(np.int64)
         keys.append(rows * _ROW_SHIFT + pos_sel)
     return keys
 

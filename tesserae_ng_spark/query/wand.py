@@ -207,6 +207,55 @@ def wand_topk(
     return [(-negid, s) for (s, negid) in out]
 
 
+def bm25_global_topk(
+    term_postings: dict,
+    global_docs: np.ndarray,
+    n_docs: int,
+    avg_dl: float,
+    k: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> list[tuple[int, float]]:
+    """Global-accumulator exhaustive BM25: per-term (global_row, score)
+    arrays are computed ONCE per term (cached on the TermPostings — the
+    index is immutable, Lucene-query-cache style), then a query is one
+    scatter-add per term into a dense float array + arg-top-k.
+
+    Summation order per doc = sorted-term order (one add.at per term, in
+    term order) — identical float results to wand_topk / the oracle.
+    """
+    acc = np.zeros(global_docs.size, dtype=np.float64)
+    for term in sorted(term_postings):
+        tp = term_postings[term]
+        if not tp.blocks:
+            continue
+        cached = getattr(tp, "_rows_scores", None)
+        if cached is None:
+            ids, tfs, dls, _, _ = tp.decode_full()
+            idf = math.log(1.0 + (n_docs - tp.df + 0.5) / (tp.df + 0.5))
+            scores = idf * tfs / (tfs + k1 * (1.0 - b + b * dls / avg_dl))
+            rows = np.searchsorted(global_docs, ids)
+            cached = (rows, scores)
+            tp._rows_scores = cached
+        rows, scores = cached
+        acc[rows] += scores  # rows are unique per term → plain fancy add
+    hit = np.nonzero(acc)[0]
+    if hit.size == 0:
+        return []
+    if hit.size > k:
+        sub = acc[hit]
+        part = hit[np.argpartition(-sub, k - 1)[: k * 2]]
+        order = np.lexsort((part, -acc[part]))
+        cand = part[order][:k]
+        kth = acc[cand[-1]]
+        if np.count_nonzero(acc >= kth) > cand.size:
+            cand = hit[np.lexsort((hit, -sub))][:k]
+        top = cand
+    else:
+        top = hit[np.lexsort((hit, -acc[hit]))]
+    return [(int(global_docs[i]), float(acc[i])) for i in top[:k]]
+
+
 def bm25_dense_topk(
     term_postings: dict,
     n_docs: int,
@@ -234,7 +283,7 @@ def bm25_dense_topk(
         if not tp.blocks:
             continue
         idf = math.log(1.0 + (n_docs - tp.df + 0.5) / (tp.df + 0.5))
-        ids, tfs, dls, _ = tp.decode_full()
+        ids, tfs, dls, _, _ = tp.decode_full()
         ids_parts.append(ids)
         score_parts.append(idf * tfs / (tfs + k1 * (1.0 - b + b * dls / avg_dl)))
     if not ids_parts:

@@ -7,7 +7,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from tesserae_ng_spark.index.inmem import build_term_postings, exhaustive_topk
-from tesserae_ng_spark.query.wand import bm25_dense_topk, wand_topk
+from tesserae_ng_spark.query.wand import bm25_dense_topk, bm25_global_topk, wand_topk
 
 
 def make_index(corpus, dls, block_size):
@@ -54,11 +54,16 @@ def test_wand_equals_exhaustive(corpus, qsize, k, block_size, seed):
     fetched = {t: tps[t] for t in set(query) if t in tps}
 
     want = exhaustive_topk(corpus, dls, query, k, avg_dl)
-    for scorer in (wand_topk, bm25_dense_topk):
-        got = scorer(fetched, n_docs, avg_dl, k)
-        assert [d for d, _ in got] == [d for d, _ in want], scorer.__name__
+    global_docs = np.array(sorted(corpus), dtype=np.int64)
+    results = [
+        ("wand", wand_topk(fetched, n_docs, avg_dl, k)),
+        ("dense", bm25_dense_topk(fetched, n_docs, avg_dl, k)),
+        ("global", bm25_global_topk(fetched, global_docs, n_docs, avg_dl, k)),
+    ]
+    for name, got in results:
+        assert [d for d, _ in got] == [d for d, _ in want], name
         for (gd, gs), (wd, ws) in zip(got, want):
-            assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-9), (scorer.__name__, gd, gs, ws)
+            assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-9), (name, gd, gs, ws)
 
 
 def test_wand_absent_and_empty():
