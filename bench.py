@@ -52,7 +52,12 @@ def main():
     # amplify deterministically so 32 cores have real work (5k base docs at
     # sf0.1); replicas repeat docs under distinct urls — seeded, no RNG
     replicas = int(os.environ.get("SPARK_GRAFT_REPLICAS", "8" if sf == "0.1" else "1"))
-    corpus = synthesize_corpus(spark, sf_dir, replicas=replicas).persist()
+    # enrich_vocab: realistic dictionary shape (hapax + Zipf tail, ≥10k
+    # terms at sf0.1) so pruning/WAND/latency are measured on a real df
+    # spectrum, not the base fixture's 37 head terms (VERDICT r1 §perf)
+    corpus = synthesize_corpus(
+        spark, sf_dir, replicas=replicas, enrich_vocab=True
+    ).persist()
     out_json["replicas"] = replicas
     n_rows = corpus.count()  # materialize synthesis outside the timed build
     t0 = time.time()
@@ -81,8 +86,20 @@ def main():
             GROUP BY term ORDER BY df DESC, term"""
     ).fetchall()
     from tesserae_ng_spark.fixtures import make_queries
+    from tesserae_ng_spark.sources.corpus import enrichment_vocab
 
-    queries = make_queries([(t, d) for t, d in vocab_rows], n=60)
+    ids_n = duckdb.sql(
+        f"""SELECT min(doc_id), max(doc_id), count(*)
+            FROM '{sf_dir}/documents.parquet'"""
+    ).fetchone()
+    # query vocabulary spans the enriched dictionary too: head terms from
+    # the raw text + Zipf-tail and hapax terms from the enrichment
+    vocab = [(t, d * replicas) for t, d in vocab_rows] + [
+        (t, d * replicas)
+        for t, d in enrichment_vocab([ids_n[0], ids_n[1]], ids_n[2])
+    ]
+    vocab.sort(key=lambda p: (-p[1], p[0]))
+    queries = make_queries(vocab, n=60)
 
     t0 = time.time()
     n_hits = search_batch(spark, idx_dir, queries, k=10).count()

@@ -216,3 +216,32 @@ def doc_vector_udf_factory():
 
 
 doc_vector_udf = doc_vector_udf_factory()
+
+
+def doc_vector_from_html_udf_factory():
+    """FUSED html→text→term-vector UDF (the production build path).
+
+    Chaining html_extract_udf and doc_vector_udf as separate pandas UDFs
+    makes the extracted text cross the Arrow boundary twice (JVM→py html,
+    py→JVM text, JVM→py text, py→JVM vectors). Fusing halves the bytes
+    moved per doc — this pipeline is memory-bandwidth-bound at high thread
+    counts (BENCH/BASELINE.md), so Arrow traffic is the scaling currency.
+    Extraction semantics are IDENTICAL (same extract_text function that
+    backs the byte-identity-checked html_extract key)."""
+    from tesserae_ng_spark.functions.html import extract_text
+
+    @F.pandas_udf(DOC_VECTOR_STRUCT)
+    def _doc_vec_html(html: pd.Series, lang: pd.Series) -> pd.DataFrame:
+        memo: dict[str, str] = {}
+        rows = [
+            doc_vector(extract_text(h), lg, _memo=memo)
+            for h, lg in zip(html, lang)
+        ]
+        return pd.DataFrame(
+            rows, columns=["terms", "tfs", "offs", "lens", "pos", "dl"]
+        )
+
+    return _doc_vec_html
+
+
+doc_vector_from_html_udf = doc_vector_from_html_udf_factory()

@@ -27,16 +27,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tesserae_ng_spark.functions.analysis import doc_vector_udf
-from tesserae_ng_spark.functions.html import html_extract_udf
+from tesserae_ng_spark.functions.analysis import (
+    doc_vector_from_html_udf,
+    doc_vector_udf,
+)
 
 # Optimizer hint, not semantics (both functions are pure/deterministic —
 # rank-identity depends on it): asNondeterministic() stops CollapseProject
 # from DUPLICATING the Arrow UDF evaluation when later projections extract
 # several fields from the UDF output struct. Without it the analyzer chain
 # runs once per extracted field.
-_html_extract = html_extract_udf.asNondeterministic()
 _doc_vector = doc_vector_udf.asNondeterministic()
+# fused html→vector UDF: extracted text never crosses the Arrow boundary
+# (halves per-doc Arrow bytes vs chaining html_extract + doc_vector)
+_doc_vector_html = doc_vector_from_html_udf.asNondeterministic()
 
 
 def asof_latest(corpus: DataFrame) -> DataFrame:
@@ -79,12 +83,16 @@ def prepare_docs(
     n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
     df = df.repartition(n_parts, "url")
     df = asof_latest(df)
-    text = F.col("text") if use_stored_text else _html_extract(F.col("html"))
+    dv = (
+        _doc_vector(F.col("text"), F.col("lang"))
+        if use_stored_text
+        else _doc_vector_html(F.col("html"), F.col("lang"))
+    )
     df = df.select(
         F.xxhash64("url").alias("doc_id"),
         "url",
         "lang",
-        _doc_vector(text, F.col("lang")).alias("dv"),
+        dv.alias("dv"),
     )
     return df.select(
         "doc_id", "url", "lang",

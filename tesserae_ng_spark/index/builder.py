@@ -61,8 +61,71 @@ class BuildResult:
     wall_s: float
 
 
-def _fingerprint(source_desc: str, n_parts: int, part: int, lang: str | None) -> str:
-    return f"{source_desc}|P={n_parts}|part={part}|lang={lang}"
+def _fingerprint(
+    source_desc: str, n_parts: int, part: int, lang: str | None,
+    with_positions: bool, use_stored_text: bool, block_size: int,
+) -> str:
+    # every build-affecting parameter participates: resuming a dir whose
+    # shards were built with different params must rebuild, not skip
+    return (
+        f"{source_desc}|P={n_parts}|part={part}|lang={lang}"
+        f"|pos={with_positions}|stored={use_stored_text}|bs={block_size}"
+    )
+
+
+def _source_desc(source) -> str:
+    if isinstance(source, str):
+        return source
+    # content-derived id for DataFrame sources: the canonicalized logical
+    # plan's semantic hash — two builds from different plans never collide
+    # into one resume lineage (they used to collapse to 'dataframe')
+    try:
+        return f"df:{source._jdf.queryExecution().analyzed().semanticHash()}"
+    except Exception:
+        return "dataframe"
+
+
+def _write_shard(
+    prepared: DataFrame, out_dir: str, part: int, block_size: int,
+    with_positions: bool = True,
+) -> dict:
+    """Write one shard's docs + postings, collecting manifest metrics from
+    Observations ON the write jobs themselves — no extra metric pass and no
+    parquet read-back (each used to double shard I/O)."""
+    from pyspark.sql import Observation
+
+    doc_obs = Observation(f"docs-{part}")
+    docs = docs_table(prepared).observe(
+        doc_obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("tokens"),
+    )
+    docs.write.mode("overwrite").parquet(f"{out_dir}/shards/docs/part={part}")
+
+    td_dl = term_doc_table(prepared)
+    if not with_positions:
+        td_dl = td_dl.withColumn("positions", F.lit(None).cast("binary"))
+    blk_obs = Observation(f"blocks-{part}")
+    blocks = encode_shard_blocks(td_dl, block_size).observe(
+        blk_obs,
+        F.count(F.lit(1)).alias("blocks"),
+        # observe() forbids distinct aggregates; HLL is single-pass. The
+        # exact term count lives in the final dictionary — the manifest
+        # count is lineage metadata, not a query input.
+        F.approx_count_distinct("term").alias("terms"),
+        F.sum(F.crc32(F.col("doc_ids"))).alias("crc"),
+    )
+    blocks.write.mode("overwrite").parquet(
+        f"{out_dir}/shards/postings/part={part}"
+    )
+    d, b = doc_obs.get, blk_obs.get
+    return {
+        "row_count": int(d["n_docs"] or 0),
+        "total_tokens": int(d["tokens"] or 0),
+        "term_count": int(b["terms"] or 0),
+        "block_count": int(b["blocks"] or 0),
+        "checksum": str(b["crc"]),
+    }
 
 
 def build_index(
@@ -85,14 +148,19 @@ def build_index(
     os.makedirs(out_dir, exist_ok=True)
     if isinstance(source, str):
         corpus = load_corpus(spark, source)
-        source_desc = source
     else:
         corpus = source
-        source_desc = "dataframe"
+    source_desc = _source_desc(source)
 
+    expected = {
+        part: _fingerprint(
+            source_desc, n_parts, part, lang,
+            with_positions, use_stored_text, block_size,
+        )
+        for part in range(n_parts)
+    }
     built, skipped, todo = [], [], []
-    for part in range(n_parts):
-        fp = _fingerprint(source_desc, n_parts, part, lang)
+    for part, fp in expected.items():
         if resume and partition_done(out_dir, part, fp):
             skipped.append(part)
         else:
@@ -130,7 +198,8 @@ def build_index(
         built.sort()
 
     result = _merge_all(
-        spark, out_dir, target_postings_per_salt, n_buckets, block_size
+        spark, out_dir, target_postings_per_salt, n_buckets, block_size,
+        expected=expected,
     )
     result.built_parts = built
     result.skipped_parts = skipped
@@ -144,44 +213,23 @@ def _build_partition(
 ) -> None:
     t0 = time.time()
     corpus_i = corpus.filter(F.pmod(F.xxhash64("url"), F.lit(n_parts)) == part)
-    prepared = prepare_docs(corpus_i, lang=lang, use_stored_text=use_stored_text)
-    prepared = prepared.persist()
-    docs = docs_table(prepared)
-    docs_path = f"{out_dir}/shards/docs/part={part}"
-    docs.write.mode("overwrite").parquet(docs_path)
-
     # document-at-a-time term vectors: (term, doc_id, tf, positions, dl)
-    # with NO token-level shuffle and no dl join (build.py)
-    td_dl = term_doc_table(prepared)
-    if not with_positions:
-        td_dl = td_dl.withColumn("positions", F.lit(None).cast("binary"))
-    blocks = encode_shard_blocks(td_dl, block_size)
-    blocks_path = f"{out_dir}/shards/postings/part={part}"
-    blocks.write.mode("overwrite").parquet(blocks_path)
-
-    # doc metrics from the cached prepared frame (no parquet re-read);
-    # block metrics + checksum from the written data (read-back = exactly
-    # what the merge will consume)
-    stats = prepared.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("tokens")
-    ).collect()[0]
-    prepared.unpersist()
-    agg = spark.read.parquet(blocks_path).agg(
-        F.count("*").alias("blocks"),
-        F.countDistinct("term").alias("terms"),
-        F.sum(F.crc32(F.col("doc_ids"))).alias("crc"),
-    ).collect()[0]
+    # with NO token-level shuffle and no dl join (build.py). persist() so
+    # the analyze UDF runs once for both the docs and postings writes.
+    prepared = prepare_docs(
+        corpus_i, lang=lang, use_stored_text=use_stored_text
+    ).persist()
+    try:
+        metrics = _write_shard(prepared, out_dir, part, block_size, with_positions)
+    finally:
+        prepared.unpersist()
     write_manifest(
         out_dir,
         part,
         {
             "status": "done",
             "input_fingerprint": fingerprint,
-            "row_count": stats["n_docs"] or 0,
-            "total_tokens": int(stats["tokens"] or 0),
-            "term_count": agg["terms"],
-            "block_count": agg["blocks"],
-            "checksum": str(agg["crc"]),
+            **metrics,
             "wall_ms": int((time.time() - t0) * 1000),
         },
     )
@@ -189,13 +237,44 @@ def _build_partition(
 
 def _merge_all(
     spark, out_dir: str, target_postings_per_salt: int, n_buckets: int,
-    block_size: int,
+    block_size: int, expected: dict[int, str] | None = None,
 ) -> BuildResult:
     manifests = [
         m
         for m in all_manifests(out_dir)
         if m.get("status") == "done" and m.get("stage") != "merge"
     ]
+    if expected is not None:
+        # lineage gate: the merge consumes EXACTLY the current build's
+        # shards. Stale part dirs (different n_parts/params/source reusing
+        # this out_dir) would silently duplicate postings or skew
+        # n_docs/avg_dl — fail loudly instead.
+        by_part = {m["partition_id"]: m for m in manifests}
+        missing = sorted(p for p in expected if p not in by_part)
+        mismatched = sorted(
+            p for p, fp in expected.items()
+            if p in by_part and by_part[p].get("input_fingerprint") != fp
+        )
+        extra = sorted(p for p in by_part if p not in expected)
+        import glob as _glob
+        import re as _re
+
+        disk_parts = set()
+        for d in _glob.glob(f"{out_dir}/shards/postings/part=*"):
+            m = _re.search(r"part=(\d+)$", d)
+            if m:
+                disk_parts.add(int(m.group(1)))
+        stray = sorted(disk_parts - set(expected))
+        if missing or mismatched or extra or stray:
+            raise ValueError(
+                f"merge lineage mismatch in {out_dir}: missing manifests "
+                f"{missing}, fingerprint mismatches {mismatched}, manifests "
+                f"outside this build {extra}, stray shard dirs {stray} — "
+                "the out_dir holds shards from a different build "
+                "(n_parts/params/source changed?); use a fresh out_dir or "
+                "delete the stale parts"
+            )
+        manifests = [by_part[p] for p in expected]
     n_docs = sum(m["row_count"] for m in manifests)
     total_tokens = sum(m["total_tokens"] for m in manifests)
     avg_dl = (total_tokens / n_docs) if n_docs else 0.0

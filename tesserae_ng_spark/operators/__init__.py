@@ -22,8 +22,72 @@ def register(key: str, sql: str | None):
     return deco
 
 
+# Canonical driver-facing order: the correctness gate records at most ~50
+# keys in registry order, so the flagship/engine/§2.9 keys lead and the
+# generic relational shapes follow. The registry is consolidated to exactly
+# 50 keys (SURVEY.md §2 key map documents which ops share a key).
+KEY_ORDER = [
+    # flagship + engine path
+    "bm25_exhaustive",
+    "blockmax_wand",
+    "block_encode",
+    "external_merge",
+    "salted_repartition_sort",
+    "checkpoint_resume",
+    "streaming_incremental",
+    # §2.9 tesserae family
+    "phrase_match",
+    "proximity_match",
+    "tesserae_pair_score",
+    "math_scores",
+    # corpus / analyzer chain
+    "scan_documents",
+    "lang_filter_pushdown",
+    "asof_latest_crawl",
+    "html_extract",
+    "hash_ids",
+    "tokenize",
+    "stem",
+    "stopword_filter",
+    "collect_positions",
+    "doc_freq_agg",
+    "approx_df_agg",
+    # LLM-pipeline ops
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "ann_bruteforce_topk",
+    "ann_lsh_bucketed",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "media_feature_extract",
+    "media_frame_sample",
+    # relational skeleton
+    "project_prune",
+    "predicate_and_or",
+    "min_ncharsfilter",
+    "join_broadcast_dim",
+    "join_sortmerge_fact",
+    "semi_join_queryterms",
+    "anti_join_stopwords",
+    "grouping_sets_stats",
+    "topk_per_term",
+    "rank_results",
+    "running_cf",
+    "global_sort_limit",
+    "union_shards",
+    "intersect_doc_sets",
+    "len_chars",
+    "map_props_json",
+    "array_ops",
+]
+
+
 def load_all() -> dict:
-    """Import every operator module (side effect: registry fills)."""
+    """Import every operator module (side effect: registry fills), returned
+    in the canonical driver-facing order."""
     from tesserae_ng_spark.operators import (  # noqa: F401
         corpus_ops,
         dedup,
@@ -34,4 +98,7 @@ def load_all() -> dict:
         text,
     )
 
-    return REGISTRY
+    ordered = {k: REGISTRY[k] for k in KEY_ORDER if k in REGISTRY}
+    # safety: anything registered but missing from KEY_ORDER goes last
+    ordered.update({k: v for k, v in REGISTRY.items() if k not in ordered})
+    return ordered

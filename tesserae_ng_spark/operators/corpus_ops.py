@@ -102,17 +102,8 @@ def hash_ids(spark, sf):
     )
 
 
-@register("sort_within_partitions", None)  # physical layout op → rows-only
-def sort_within_partitions(spark, sf):
-    # docID-sorted postings partitions: repartition on term, sort within
-    # partitions by (term, doc_id) — the exchange that feeds block encoding.
-    # No SQL analog (partition-local order is not a SQL concept).
-    from tesserae_ng_spark.operators.common import tokens_df
-
-    return (
-        tokens_df(spark, sf)
-        .select("term", "doc_id")
-        .distinct()
-        .repartition(8, "term")
-        .sortWithinPartitions("term", "doc_id")
-    )
+# sort_within_partitions (§2.6): the repartition-on-term +
+# sortWithinPartitions(term, doc_id) exchange is exercised and checked as
+# part of `salted_repartition_sort` (the index builder literally IS that
+# exchange — engine_ops.py) under the 50-key driver cap; its partition-local
+# order invariant is pytest-asserted in tests/test_index_e2e.py.

@@ -24,7 +24,115 @@ from tesserae_ng_spark.operators.common import TOKS_CTE, t
 N_PERM = 64  # minhash permutations
 BANDS = 16  # 16 bands × 4 rows — catches jaccard ≳ 0.5 pairs
 ROWS_PER_BAND = N_PERM // BANDS
-_MERSENNE = (1 << 61) - 1
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # odd (golden-ratio) polynomial base
+
+
+def _minhash_params():
+    # deterministic affine permutations mod 2^64: x -> a*x + b with a ODD is
+    # a bijection on uint64 (a unit in Z/2^64) — a true permutation family,
+    # and native-vectorizable (uint64 wraparound, no bignum/object dtype).
+    rng = np.random.RandomState(42)
+    a = rng.randint(0, 1 << 62, size=N_PERM, dtype=np.int64).astype(np.uint64)
+    a = a * np.uint64(2) + np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=N_PERM, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+_MINHASH_A, _MINHASH_B = _minhash_params()
+
+
+def _flat_token_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch tokenize + hash: ONE vectorized pass, no per-char Python.
+
+    Returns (flat uint64 token hashes in doc order, per-doc token counts).
+    Hashing is pandas' Cython-vectorized string hash (stable key) over the
+    batch's full flattened token array.
+    """
+    from itertools import chain
+
+    toks = texts.fillna("").str.lower().str.split()
+    counts = toks.str.len().to_numpy(dtype=np.int64)
+    n = int(counts.sum())
+    flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=n)
+    hashes = pd.util.hash_array(flat) if n else np.empty(0, dtype=np.uint64)
+    return hashes, counts
+
+
+def _batch_shingle_hashes(
+    texts: pd.Series, k: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """k-token shingle hashes for a whole batch, vectorized.
+
+    Shingle hash = degree-(k-1) polynomial in the token hashes over Z/2^64
+    (odd base → information from every token survives the wraparound).
+    Docs shorter than k tokens get one degenerate shingle (their padded
+    polynomial), so every doc has ≥1 shingle.
+    Returns (flat shingle hashes grouped by doc, per-doc shingle counts).
+    """
+    h, counts = _flat_token_hashes(texts)
+    n_docs = counts.size
+    doc_of = np.repeat(np.arange(n_docs), counts)
+    # polynomial over every global window of k consecutive token hashes
+    if h.size >= k:
+        win = h[: h.size - k + 1].copy()
+        for j in range(1, k):
+            win = win * _MIX + h[j : h.size - k + j + 1]
+        valid = doc_of[: h.size - k + 1] == doc_of[k - 1 :]
+        sh = win[valid]
+        sh_doc = doc_of[: h.size - k + 1][valid]
+        sh_counts = np.bincount(sh_doc, minlength=n_docs)
+    else:
+        sh = np.empty(0, dtype=np.uint64)
+        sh_counts = np.zeros(n_docs, dtype=np.int64)
+    short = np.flatnonzero(sh_counts == 0)
+    if short.size:
+        # rare short docs: one padded shingle each (tiny loop over docs,
+        # bounded by the batch's short-doc count, not by tokens)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        extras = np.empty(short.size, dtype=np.uint64)
+        with np.errstate(over="ignore"):  # uint64 wraparound is the intent
+            for i, d in enumerate(short):
+                hs = h[starts[d] : starts[d + 1]]
+                acc = np.uint64(0)
+                for j in range(k):
+                    acc = acc * _MIX + (hs[j] if j < hs.size else np.uint64(0))
+                extras[i] = acc
+        # merge: rebuild in doc order
+        new_counts = sh_counts.copy()
+        new_counts[short] = 1
+        out = np.empty(int(new_counts.sum()), dtype=np.uint64)
+        pos = np.concatenate(([0], np.cumsum(new_counts)))
+        old_pos = np.concatenate(([0], np.cumsum(sh_counts)))
+        for d in range(n_docs):  # segment copy; dominated by long docs' slices
+            if sh_counts[d]:
+                out[pos[d] : pos[d + 1]] = sh[old_pos[d] : old_pos[d + 1]]
+        out[pos[short]] = extras
+        return out, new_counts
+    return sh, sh_counts
+
+
+def batch_minhash_signatures(texts: pd.Series) -> np.ndarray:
+    """(n_docs, N_PERM) int64 minhash signatures for a whole Arrow batch.
+
+    Per permutation j: sig[d, j] = min over d's shingles of (a_j*x + b_j)
+    mod 2^64 — one uint64 multiply-add plus a segmented min
+    (np.minimum.reduceat) per permutation. No Python below doc granularity.
+    """
+    sh, sh_counts = _batch_shingle_hashes(texts)
+    n_docs = sh_counts.size
+    sig = np.empty((n_docs, N_PERM), dtype=np.uint64)
+    if n_docs == 0:
+        return sig.view(np.int64)
+    seg_starts = np.concatenate(([0], np.cumsum(sh_counts)))[:-1]
+    for j in range(N_PERM):
+        vals = sh * _MINHASH_A[j] + _MINHASH_B[j]
+        sig[:, j] = np.minimum.reduceat(vals, seg_starts)
+    return sig.view(np.int64)
+
+
+def minhash_signature(text: str) -> list[int]:
+    """Single-doc convenience wrapper (tests / interactive use)."""
+    return batch_minhash_signatures(pd.Series([text]))[0].tolist()
 
 
 @register(
@@ -48,39 +156,6 @@ def dedup_exact(spark, sf):
     )
 
 
-def _minhash_params():
-    # deterministic affine permutations over the Mersenne prime field
-    rng = np.random.RandomState(42)
-    a = rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
-    return a, b
-
-
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """k-token shingles → stable 61-bit hashes (FNV-1a over the shingle)."""
-    toks = text.lower().split()
-    if len(toks) < k:
-        toks = toks + ["\x00"] * (k - len(toks))
-    out = np.empty(max(1, len(toks) - k + 1), dtype=np.uint64)
-    for i in range(out.size):
-        h = np.uint64(0xCBF29CE484222325)
-        for ch in " ".join(toks[i : i + k]).encode():
-            h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h % np.uint64(_MERSENNE)
-    return out
-
-
-def minhash_signature(text: str) -> list[int]:
-    a, b = _MINHASH_A, _MINHASH_B
-    sh = _shingle_hashes(text)
-    # sig[j] = min over shingles of (a_j * x + b_j) mod p   (vectorized)
-    prod = (sh[:, None].astype(object) * a[None, :].astype(object) + b) % _MERSENNE
-    return np.min(np.array(prod, dtype=np.uint64), axis=0).astype(np.int64).tolist()
-
-
-_MINHASH_A, _MINHASH_B = _minhash_params()
-
-
 @register("dedup_minhash_lsh", None)  # engine-hash-based → rows-only check
 def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup candidate pairs with exact-Jaccard verification.
@@ -91,7 +166,7 @@ def dedup_minhash_lsh(spark, sf):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(text: pd.Series) -> pd.Series:
-        return text.map(lambda s: minhash_signature(s or ""))
+        return pd.Series(list(batch_minhash_signatures(text)))
 
     docs = t(spark, sf, "documents").select("doc_id", "text")
     sigs = docs.select("doc_id", _sig("text").alias("sig"))
@@ -147,6 +222,37 @@ def dedup_minhash_lsh(spark, sf):
     )
 
 
+def batch_simhash(texts: pd.Series) -> np.ndarray:
+    """(n_docs,) int64 SimHash (Charikar 2002) for a whole Arrow batch.
+
+    Vectorized end-to-end: one hash_array call over the batch's flattened
+    tokens, unpackbits to a (n_tokens, 64) ±1 matrix, per-doc column sums
+    via np.add.reduceat, sign → packed 64-bit fingerprint. Empty docs → 0.
+    """
+    h, counts = _flat_token_hashes(texts)
+    n_docs = counts.size
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if h.size == 0:
+        return out.view(np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    # empty docs contribute no tokens, so the next non-empty doc's start is
+    # identical — dropping empty docs' starts leaves exactly the non-empty
+    # segment boundaries reduceat needs (all < h.size).
+    nonempty = counts > 0
+    ne_starts = starts[nonempty]
+    ne_counts = counts[nonempty]
+    # per-bit loop (64 iterations over n_tokens-sized buffers) instead of a
+    # materialized (n_tokens, 64) ±1 matrix: bounded working set, and the
+    # sign test `sum(±1) > 0` == `2*ones - n_tokens > 0` needs only the
+    # per-doc ones-count of each bit column.
+    fp = np.zeros(ne_counts.size, dtype=np.uint64)
+    for b in range(64):
+        ones = np.add.reduceat((h >> np.uint64(b)) & np.uint64(1), ne_starts)
+        fp |= ((2 * ones > ne_counts.astype(np.uint64))).astype(np.uint64) << np.uint64(b)
+    out[nonempty] = fp
+    return out.view(np.int64)
+
+
 @register("dedup_simhash", None)  # engine-hash-based → rows-only check
 def dedup_simhash(spark, sf):
     """64-bit SimHash per doc (Charikar 2002): sign of the weighted sum of
@@ -154,24 +260,7 @@ def dedup_simhash(spark, sf):
 
     @F.pandas_udf(T.LongType())
     def _simhash(text: pd.Series) -> pd.Series:
-        def sh(s: str) -> int:
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in (s or "").lower().split():
-                h = 0xCBF29CE484222325
-                for ch in tok.encode():
-                    h = (h ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF
-                bits = np.unpackbits(
-                    np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8),
-                    bitorder="little",
-                )
-                acc += np.where(bits == 1, 1, -1)
-            v = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    v |= 1 << i
-            return v - (1 << 64) if v >= (1 << 63) else v  # to signed int64
-
-        return text.map(sh)
+        return pd.Series(batch_simhash(text))
 
     return t(spark, sf, "documents").select(
         "doc_id", _simhash("text").alias("simhash")

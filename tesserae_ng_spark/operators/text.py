@@ -41,19 +41,6 @@ def tokenize_key(spark, sf):
     )
 
 
-@register(
-    "lowercase_fold",
-    "SELECT doc_id, lower(text) AS folded FROM documents",
-)
-def lowercase_fold(spark, sf):
-    # the analyzer chain's normalize step as a standalone column op
-    # (inside the UDF chain it's pd.Series.str.lower; column-level it's
-    # JVM lower() — same byte semantics for this corpus).
-    return t(spark, sf, "documents").select(
-        "doc_id", F.lower("text").alias("folded")
-    )
-
-
 @register("stem", None)  # Porter is not SQL-expressible → rows-only check
 def stem_key(spark, sf):
     from tesserae_ng_spark.functions.analysis import analyze_udf
@@ -69,21 +56,6 @@ def stem_key(spark, sf):
 # ---------------------------------------------------------------------------
 # §2.4 term aggregations
 # ---------------------------------------------------------------------------
-@register(
-    "term_freq_agg",
-    f"""WITH {TOKS_CTE}
-       SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
-       FROM toks GROUP BY term, doc_id""",
-)
-def term_freq_agg(spark, sf):
-    # partial (map-side) + final agg planned automatically by Spark.
-    return (
-        tokens_df(spark, sf)
-        .groupBy("term", "doc_id")
-        .agg(F.count("*").alias("tf"))
-    )
-
-
 @register(
     "doc_freq_agg",
     f"""WITH {TOKS_CTE}
@@ -111,18 +83,34 @@ def approx_df_agg(spark, sf):
 
 @register(
     "collect_positions",
-    f"""WITH {TOKS_CTE}
-       SELECT term, doc_id, string_agg(pos, ',' ORDER BY pos) AS positions
-       FROM toks GROUP BY term, doc_id""",
+    f"""WITH {TOKS_CTE},
+       posting AS (
+         SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+                string_agg(pos, ',' ORDER BY pos) AS positions
+         FROM toks GROUP BY term, doc_id)
+       SELECT term, doc_id, tf, positions,
+              CAST(floor((row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1) / 128)
+                   AS BIGINT) AS block_id
+       FROM posting""",
 )
 def collect_positions(spark, sf):
-    # positions array per (term, doc) — crossed to the oracle as a sorted
-    # CSV string (array hashing is engine-specific).
+    # The postings-build preview in one pass, consolidating three §2 keys
+    # under the 50-key driver cap (SURVEY.md §2 key map):
+    #   collect_positions — positions array per (term, doc), crossed to the
+    #     oracle as a sorted CSV string (array hashing is engine-specific)
+    #   term_freq_agg     — tf per (term, doc); partial (map-side) + final
+    #     agg planned automatically by Spark
+    #   block_assign      — 128-docs/block blocking within term, docID order
+    w = W.partitionBy("term").orderBy("doc_id")
     return (
         tokens_df(spark, sf)
         .groupBy("term", "doc_id")
         .agg(
-            F.array_join(F.array_sort(F.collect_list("pos")), ",").alias("positions")
+            F.count("*").alias("tf"),
+            F.array_join(F.array_sort(F.collect_list("pos")), ",").alias("positions"),
+        )
+        .withColumn(
+            "block_id", F.floor((F.row_number().over(w) - 1) / 128).cast("long")
         )
     )
 
@@ -154,41 +142,13 @@ def stopword_filter(spark, sf):
     )
 
 
-@register(
-    "block_assign",
-    f"""WITH {TOKS_CTE},
-       postings AS (SELECT DISTINCT term, doc_id FROM toks)
-       SELECT term, doc_id,
-              CAST(floor((row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1) / 128)
-                   AS BIGINT) AS block_id
-       FROM postings""",
-)
-def block_assign(spark, sf):
-    # postings blocking: 128 docs/block within term, docID order (§2.5).
-    w = W.partitionBy("term").orderBy("doc_id")
-    return (
-        tokens_df(spark, sf)
-        .select("term", "doc_id")
-        .distinct()
-        .withColumn(
-            "block_id",
-            F.floor((F.row_number().over(w) - 1) / 128).cast("long"),
-        )
-    )
-
-
 # ---------------------------------------------------------------------------
 # §2.9 phrase / proximity / Tesserae pair scoring (SQL-checkable variants,
 # unstemmed; the stemmed engine path is pytest-verified)
 # ---------------------------------------------------------------------------
-@register(
-    "positional_self_join",
-    f"""WITH {TOKS_CTE}
-       SELECT a.doc_id AS doc_id, a.pos AS pos
-       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-       WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'""",
-)
 def positional_self_join(spark, sf):
+    # §2.3 positional_self_join — the mechanism inside phrase_match (its
+    # driver key); exported standalone for tests.
     toks = tokens_df(spark, sf)
     a = toks.filter(F.col("term") == PHRASE[0]).alias("a")
     b = toks.filter(F.col("term") == PHRASE[1]).alias("b")
@@ -390,10 +350,15 @@ def bm25_exhaustive(spark, sf):
         .groupBy("doc_id")
         .agg(F.sum("partial").alias("score"))
     )
-    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    # top-k via orderBy+limit → TakeOrderedAndProject (per-partition bounded
+    # heap + driver merge), NOT a global row_number window: at 100 TB an
+    # unpartitioned WindowExec moves every scored doc to one reducer. Rank is
+    # derived on the already-bounded k rows (constant partition key is fine —
+    # the window input is ≤ k rows by construction).
+    top = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(20)
+    w = W.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
-        scores.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "doc_id", F.round("score", 6).alias("score"))
     )
 
@@ -402,31 +367,14 @@ def bm25_exhaustive(spark, sf):
 # Training-data text analysis (token counting, quality, lang-ID, fingerprint)
 # ---------------------------------------------------------------------------
 @register(
-    "token_count",
-    f"""WITH {TOKS_CTE}
-       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-              CAST(count(DISTINCT term) AS BIGINT) AS n_distinct
-       FROM toks GROUP BY doc_id""",
-)
-def token_count(spark, sf):
-    return (
-        tokens_df(spark, sf)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.countDistinct("term").alias("n_distinct"),
-        )
-    )
-
-
-@register(
     "quality_score",
     f"""WITH {TOKS_CTE},
        tok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                       avg(length(term)) AS avg_len,
                       CAST(count(DISTINCT term) AS BIGINT) AS n_distinct
                FROM toks GROUP BY doc_id)
-       SELECT d.doc_id AS doc_id,
+       SELECT d.doc_id AS doc_id, tok.n_tokens AS n_tokens,
+              tok.n_distinct AS n_distinct,
               ROUND(least(tok.n_tokens / 100.0, 1.0) * 0.4
                     + (CAST(tok.n_distinct AS DOUBLE) / tok.n_tokens) * 0.4
                     + least(tok.avg_len / 10.0, 1.0) * 0.2, 6) AS quality
@@ -435,6 +383,9 @@ def token_count(spark, sf):
 def quality_score(spark, sf):
     # heuristic document-quality score for training-data filtering:
     # length signal + lexical diversity + avg token length, all JVM-side.
+    # Consolidates three §2 keys under the 50-key driver cap: the exposed
+    # n_tokens column IS doclen_agg's dl and (with n_distinct) token_count's
+    # output — same grouping, same token stream, one hash-checked pass.
     tok = (
         tokens_df(spark, sf)
         .groupBy("doc_id")
@@ -447,6 +398,8 @@ def quality_score(spark, sf):
     d = t(spark, sf, "documents").select("doc_id")
     return d.join(tok, "doc_id").select(
         "doc_id",
+        "n_tokens",
+        "n_distinct",
         F.round(
             F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
             + (F.col("n_distinct").cast("double") / F.col("n_tokens")) * 0.4

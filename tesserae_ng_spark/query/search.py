@@ -126,11 +126,18 @@ def _conjunctive_matches(tps: list[TermPostings]):
 _ROW_SHIFT = np.int64(1) << np.int64(21)  # positions < 2^21 (dl < 2M tokens)
 
 
+class PositionOverflow(Exception):
+    """A document's token position exceeds the packed-key budget (≥ 2M
+    tokens in one doc); callers fall back to the per-doc path."""
+
+
 def _row_pos_keys(decoded, idxs, n_common):
     """Per term: pack (common-row, position) into one sortable int64 key.
     Rows (not raw doc ids — those span the full int64 range) make the
     packing safe: row < n_common, pos < 2^21. Positions gather out of the
-    flat array with one vectorized fancy-index — no per-doc objects."""
+    flat array with one vectorized fancy-index — no per-doc objects.
+    Raises PositionOverflow when any position won't fit the key budget
+    (otherwise position bits would silently corrupt row bits)."""
     keys = []
     for t, (ids, tfs, dls, pos_flat, pos_offs) in enumerate(decoded):
         sel = idxs[t]
@@ -144,6 +151,10 @@ def _row_pos_keys(decoded, idxs, n_common):
             + (np.arange(total, dtype=np.int64) - np.repeat(run_starts, counts))
         )
         pos_sel = pos_flat[gather].astype(np.int64)
+        if pos_sel.size and int(pos_sel.max()) >= int(_ROW_SHIFT):
+            raise PositionOverflow(
+                f"position {int(pos_sel.max())} >= {int(_ROW_SHIFT)}"
+            )
         keys.append(rows * _ROW_SHIFT + pos_sel)
     return keys
 
@@ -181,6 +192,40 @@ def _min_span_2term_vectorized(k1: np.ndarray, k2: np.ndarray):
     spans = (ks[1:] - ks[:-1])[adj]
     rows = (ks[1:] // _ROW_SHIFT)[adj]
     # min span per row: lexsort then first occurrence of each row
+    o = np.lexsort((spans, rows))
+    rows_s, spans_s = rows[o], spans[o]
+    first = np.ones(rows_s.size, dtype=bool)
+    first[1:] = rows_s[1:] != rows_s[:-1]
+    return rows_s[first], spans_s[first]
+
+
+def _min_cover_span_vectorized(keys: list[np.ndarray]):
+    """→ (rows, minimal token span covering ≥1 occurrence of EVERY term per
+    row) — generic arity, fully vectorized across all docs at once.
+
+    Sweep the merged sorted key order; at each key, the best window ending
+    there starts at the EARLIEST of the per-term most-recent occurrences
+    (the textbook per-doc sweep, executed for every doc simultaneously):
+    per-term 'most recent key ≤ here' is a masked np.maximum.accumulate,
+    validity = that key still belongs to the same row."""
+    T = len(keys)
+    allk = np.concatenate(keys)
+    term_of = np.concatenate(
+        [np.full(k.size, t, dtype=np.int8) for t, k in enumerate(keys)]
+    )
+    order = np.argsort(allk, kind="stable")
+    ks, ts = allk[order], term_of[order]
+    n = ks.size
+    mins = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    for t in range(T):
+        kt = np.where(ts == t, ks, np.int64(-1))
+        np.minimum(mins, np.maximum.accumulate(kt), out=mins)
+    rows_i = ks // _ROW_SHIFT
+    valid = (mins >= 0) & (mins // _ROW_SHIFT == rows_i)
+    if not valid.any():
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    spans = ks[valid] - mins[valid]  # same row ⇒ pure position difference
+    rows = rows_i[valid]
     o = np.lexsort((spans, rows))
     rows_s, spans_s = rows[o], spans[o]
     first = np.ones(rows_s.size, dtype=bool)
@@ -246,13 +291,26 @@ def phrase_topk(ordered_tps: list[TermPostings], n_docs: int, avg_dl: float,
     if got is None:
         return []
     decoded, idxs, common = got
-    keys = _row_pos_keys(decoded, idxs, common.size)
-    rows, tfs = _phrase_rows_vectorized(keys)
-    if rows.size == 0:
-        return []
-    docs = common[rows]
-    dls = decoded[0][2][idxs[0][rows]]
-    df = rows.size
+    try:
+        keys = _row_pos_keys(decoded, idxs, common.size)
+        rows, tfs = _phrase_rows_vectorized(keys)
+        if rows.size == 0:
+            return []
+        docs = common[rows]
+        dls = decoded[0][2][idxs[0][rows]]
+    except PositionOverflow:
+        # pathological (>2M-token) docs: per-doc path, same semantics
+        hits = [
+            (doc, dl, c)
+            for doc, dl, per_term in _conjunctive_matches(ordered_tps)
+            if (c := _phrase_count([p for _, p in per_term]))
+        ]
+        if not hits:
+            return []
+        docs = np.array([h[0] for h in hits], dtype=np.int64)
+        dls = np.array([h[1] for h in hits], dtype=np.int64)
+        tfs = np.array([h[2] for h in hits], dtype=np.int64)
+    df = docs.size
     idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
     scores = idf * tfs / (tfs + k1 * (1.0 - b + b * dls / avg_dl))
     top = np.lexsort((docs, -scores))[:k]
@@ -262,15 +320,22 @@ def phrase_topk(ordered_tps: list[TermPostings], n_docs: int, avg_dl: float,
 def proximity_topk(tps: list[TermPostings], window: int, k: int):
     """Proximity top-k with the Tesserae distance-weighted score.
 
-    2-term queries (the common case) run fully vectorized; other arities
-    use the per-doc minimal-cover-span sweep."""
+    Every arity runs fully vectorized (2-term: adjacent-pair scan; 3+:
+    per-term forward-fill cover-span sweep); the per-doc loop remains only
+    as the PositionOverflow fallback for pathological >2M-token docs."""
     got = _intersect_decoded(tps)
     if got is None:
         return []
     decoded, idxs, common = got
-    if len(tps) == 2:
+    try:
         keys = _row_pos_keys(decoded, idxs, common.size)
-        rows, spans = _min_span_2term_vectorized(keys[0], keys[1])
+    except PositionOverflow:
+        keys = None  # pathological docs → per-doc path below
+    if keys is not None:
+        if len(tps) == 2:
+            rows, spans = _min_span_2term_vectorized(keys[0], keys[1])
+        else:
+            rows, spans = _min_cover_span_vectorized(keys)
         keep = spans <= window
         rows, spans = rows[keep], spans[keep]
         if rows.size == 0:
@@ -311,16 +376,41 @@ def get_searcher(index_dir: str) -> "Searcher":
     return s
 
 
+# minimum queries per slice in batch mode: below this, extra workers cost
+# more in cold caches + pyarrow scans than they buy in parallelism (each
+# Python worker keeps its own postings LRU; a 60-query batch on 32 workers
+# means 32 cold caches — measured to ANTI-scale from local[2]→local[8])
+MIN_QUERIES_PER_SLICE = 16
+
+
 def search_batch(spark, index_dir: str, queries: list[dict], k: int = 10):
     """Run many queries distributed: each executor opens the immutable index
     and serves its partition of queries (broadcast-free — queries are data,
     the index is shared storage). Returns DataFrame(query_id, rank, doc_id,
-    score)."""
+    score).
+
+    Cold-start costs are amortized two ways: (a) slice count scales with
+    batch size (≥MIN_QUERIES_PER_SLICE per slice), so small batches use few
+    workers with warm caches while 10k-query batches still fan out to every
+    core; (b) each slice prefetches the UNION of its queries' terms in one
+    pyarrow scan instead of one scan per query."""
     sc = spark.sparkContext
-    n_slices = min(len(queries), sc.defaultParallelism) or 1
+    n_slices = max(
+        1,
+        min(
+            sc.defaultParallelism,
+            (len(queries) + MIN_QUERIES_PER_SLICE - 1) // MIN_QUERIES_PER_SLICE,
+        ),
+    )
 
     def run_part(qs):
+        qs = list(qs)
         searcher = get_searcher(index_dir)
+        terms: set[str] = set()
+        for q in qs:
+            terms.update(analyze_query(q["query_text"], searcher.lang))
+        if terms:
+            searcher.reader.fetch(sorted(terms))  # one scan per slice
         for q in qs:
             for hit in searcher.search(
                 q["query_text"], k=q.get("k", k), mode=q.get("mode", "bm25"),

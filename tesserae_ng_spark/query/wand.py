@@ -53,18 +53,33 @@ class TermIterator:
             self._load(0)
 
     def _load(self, bi: int) -> None:
+        """Move the block cursor — METADATA ONLY. Decompression happens
+        lazily on first posting access (_ensure_decoded), so skip-heavy
+        queries advance over blocks without ever decoding them (the actual
+        block-max WAND payoff; Ding & Suel §4)."""
         self.bi = bi
         self.pi = 0
-        ids, tfs, dls = self.blocks[bi].decode()
-        self._ids = ids
-        self._scores = self.idf * tfs / (
-            tfs + self.k1 * (1.0 - self.b + self.b * dls / self.avg_dl)
-        )
+        self._ids = None
+        self._scores = None
+
+    def _ensure_decoded(self) -> None:
+        if self._ids is None:
+            ids, tfs, dls = self.blocks[self.bi].decode()
+            self._ids = ids
+            self._scores = self.idf * tfs / (
+                tfs + self.k1 * (1.0 - self.b + self.b * dls / self.avg_dl)
+            )
 
     def cur_doc(self) -> int:
+        if self._ids is None:
+            if self.pi == 0:
+                # block metadata knows its first doc — no decode needed
+                return self.blocks[self.bi].first_doc
+            self._ensure_decoded()
         return int(self._ids[self.pi])
 
     def cur_score(self) -> float:
+        self._ensure_decoded()
         return float(self._scores[self.pi])
 
     def cur_block_max(self) -> float:
@@ -74,9 +89,11 @@ class TermIterator:
         return self.blocks[self.bi].last_doc
 
     def advance_to(self, target: int) -> bool:
-        """Seek to the first posting with doc >= target."""
+        """Seek to the first posting with doc >= target. Intermediate blocks
+        are skipped on metadata alone; only the landing block decodes."""
         while True:
             if self.blocks[self.bi].last_doc >= target:
+                self._ensure_decoded()
                 pi = int(np.searchsorted(self._ids[self.pi:], target)) + self.pi
                 self.pi = pi
                 return True
@@ -86,6 +103,7 @@ class TermIterator:
             self._load(self.bi + 1)
 
     def next(self) -> bool:
+        self._ensure_decoded()
         self.pi += 1
         if self.pi < self._ids.size:
             return True
@@ -96,8 +114,8 @@ class TermIterator:
         return True
 
     def shallow_advance(self, target: int) -> bool:
-        """Advance the block cursor (metadata only) until the current block
-        may contain target."""
+        """Advance the block cursor until the current block may contain
+        target — metadata only, nothing decodes."""
         while self.blocks[self.bi].last_doc < target:
             if self.bi + 1 >= len(self.blocks):
                 self.exhausted = True

@@ -47,14 +47,39 @@ def _make_html_udf(doc_id: pd.Series, source: pd.Series, text: pd.Series) -> pd.
     )
 
 
+ZIPF_LEVELS = range(1, 11)  # zipf{j}x{m}: df ≈ n_docs / 2^j — a 2^10 tail
+
+
+def enrichment_vocab(doc_ids: list[int], n_docs: int) -> list[tuple[str, int]]:
+    """(term, approx df) pairs for the deterministic enrichment vocabulary —
+    lets the bench build QUERIES over the enriched dictionary without
+    re-scanning the corpus."""
+    out = []
+    for j in ZIPF_LEVELS:
+        for m in range(min(3, 1 << j)):
+            out.append((f"zipf{j}x{m}", max(1, n_docs >> j)))
+    for d in doc_ids[:3]:
+        out.append((f"hapaxa{d:08d}", 1))
+    return out
+
+
 def synthesize_corpus(
-    spark: SparkSession, sf_dir: str, with_dups: bool = True, replicas: int = 1
+    spark: SparkSession, sf_dir: str, with_dups: bool = True, replicas: int = 1,
+    enrich_vocab: bool = False,
 ) -> DataFrame:
     """documents.parquet → contract-shaped corpus DataFrame.
 
     ``replicas > 1`` deterministically amplifies the corpus for bench runs:
     each document repeats under distinct urls (…{doc_id}r{rep}) — text and
     html identical, so analyzer work scales linearly while staying seeded.
+
+    ``enrich_vocab`` (bench only — oracle keys must see the raw text)
+    appends deterministic synthetic tokens per doc so the dictionary has a
+    realistic shape instead of the base fixture's ~37 head terms:
+    two doc-unique hapax terms + one term per Zipf level j with
+    df ≈ n_docs/2^j (term `zipf{j}x{doc_id mod 2^j}`) — ≥10k distinct terms
+    at sf0.1, spanning five orders of magnitude of df, so dictionary lookup,
+    row-group pruning, and WAND skipping get measured on a real spectrum.
 
     Column pruning note: html generation is a pandas UDF, but it runs only
     in fixture synthesis — the production path reads html from storage.
@@ -66,6 +91,22 @@ def synthesize_corpus(
         F.col("text"),
         F.col("lang"),
     )
+    if enrich_vocab:
+        base = base.withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.format_string("hapaxa%08d", "doc_id"),
+                F.format_string("hapaxb%08d", "doc_id"),
+                *[
+                    F.format_string(
+                        f"zipf{j}x%d", F.pmod("doc_id", F.lit(1 << j))
+                    )
+                    for j in ZIPF_LEVELS
+                ],
+            ),
+        )
     if replicas > 1:
         base = base.withColumn(
             "rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))

@@ -29,10 +29,8 @@ from __future__ import annotations
 import time
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from tesserae_ng_spark.index.build import docs_table, prepare_docs, term_doc_table
-from tesserae_ng_spark.index.encode import encode_shard_blocks
+from tesserae_ng_spark.index.build import prepare_docs
 from tesserae_ng_spark.index.manifest import partition_done, write_manifest
 from tesserae_ng_spark.schemas import BLOCK_SIZE, CORPUS_SCHEMA
 
@@ -46,30 +44,17 @@ def _process_batch(batch_df: DataFrame, batch_id: int, out_dir: str,
     if partition_done(out_dir, part, fp):
         return  # replayed batch after checkpoint recovery → idempotent skip
     t0 = time.time()
+    from tesserae_ng_spark.index.builder import _write_shard
+
     prepared = prepare_docs(batch_df, lang=lang).persist()
-    docs = docs_table(prepared)
-    docs.write.mode("overwrite").parquet(f"{out_dir}/shards/docs/part={part}")
-    blocks = encode_shard_blocks(term_doc_table(prepared), block_size)
-    blocks.write.mode("overwrite").parquet(
-        f"{out_dir}/shards/postings/part={part}"
-    )
-    spark = batch_df.sparkSession
-    stats = spark.read.parquet(f"{out_dir}/shards/docs/part={part}").agg(
-        F.count("*").alias("n"), F.sum("dl").alias("tok")
-    ).collect()[0]
-    blk = spark.read.parquet(f"{out_dir}/shards/postings/part={part}").agg(
-        F.count("*").alias("b"), F.countDistinct("term").alias("t"),
-        F.sum(F.crc32("doc_ids")).alias("crc"),
-    ).collect()[0]
-    prepared.unpersist()
+    try:
+        metrics = _write_shard(prepared, out_dir, part, block_size)
+    finally:
+        prepared.unpersist()
     write_manifest(out_dir, part, {
         "status": "done",
         "input_fingerprint": fp,
-        "row_count": stats["n"] or 0,
-        "total_tokens": int(stats["tok"] or 0),
-        "term_count": blk["t"],
-        "block_count": blk["b"],
-        "checksum": str(blk["crc"]),
+        **metrics,
         "wall_ms": int((time.time() - t0) * 1000),
     })
 

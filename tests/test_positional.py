@@ -105,3 +105,66 @@ def test_three_term_phrase():
     tps, n, avg = index_from_token_docs(docs)
     got = phrase_topk([tps["a"], tps["b"], tps["c"]], n, avg, k=10)
     assert [d for d, _ in got] == [1]
+
+
+@given(
+    docs=docs_strategy,
+    terms=st.lists(st.sampled_from(VOCAB), min_size=3, max_size=4, unique=True),
+    window=st.integers(min_value=0, max_value=10),
+)
+@settings(max_examples=300, deadline=None)
+def test_multiterm_proximity_matches_brute(docs, terms, window):
+    """3+-term proximity (vectorized cover-span sweep) vs per-doc brute."""
+    from tesserae_ng_spark.query.search import _min_cover_span
+
+    tps, n, avg = index_from_token_docs(docs)
+    if any(t not in tps for t in terms):
+        return
+    got = {d: s for d, s in proximity_topk([tps[t] for t in sorted(set(terms))], window, k=10_000)}
+    for d, toks in docs.items():
+        pos_lists = [
+            np.array([i for i, x in enumerate(toks) if x == t])
+            for t in sorted(set(terms))
+        ]
+        if any(p.size == 0 for p in pos_lists):
+            assert d not in got
+            continue
+        span = _min_cover_span(pos_lists)
+        if 0 <= span <= window:
+            assert d in got, (d, toks, span)
+            inv_f = sum(1.0 / toks.count(t) for t in sorted(set(terms)))
+            want = math.log(inv_f / max(span, 1))
+            assert math.isclose(got[d], want, rel_tol=0, abs_tol=1e-9)
+        else:
+            assert d not in got
+
+
+def test_cover_span_vectorized_matches_reference():
+    from tesserae_ng_spark.query.search import (
+        _ROW_SHIFT,
+        _min_cover_span,
+        _min_cover_span_vectorized,
+        _min_span_2term_vectorized,
+    )
+
+    rng = np.random.RandomState(0)
+    for trial in range(200):
+        T = rng.randint(2, 5)
+        n_rows = rng.randint(1, 8)
+        keys = []
+        per_row = {r: [None] * T for r in range(n_rows)}
+        for t in range(T):
+            ks = []
+            for r in range(n_rows):
+                ps = sorted(rng.choice(200, size=rng.randint(1, 6), replace=False))
+                per_row[r][t] = np.array(ps)
+                ks.extend(int(r) * int(_ROW_SHIFT) + int(p) for p in ps)
+            keys.append(np.array(sorted(ks), dtype=np.int64))
+        rows, spans = _min_cover_span_vectorized(keys)
+        got = dict(zip(rows.tolist(), spans.tolist()))
+        for r in range(n_rows):
+            assert got.get(r, -1) == _min_cover_span(per_row[r])
+        if T == 2:
+            r2, s2 = _min_span_2term_vectorized(keys[0], keys[1])
+            assert r2.tolist() == rows.tolist()
+            assert s2.tolist() == spans.tolist()
