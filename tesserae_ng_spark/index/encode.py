@@ -84,11 +84,15 @@ def encode_term_group(pdf: pd.DataFrame, block_size: int = BLOCK_SIZE) -> pd.Dat
 def encode_shard_blocks(term_doc_dl: DataFrame, block_size: int = BLOCK_SIZE) -> DataFrame:
     """(term, doc_id, tf, dl, positions) → shard block rows.
 
-    groupBy(term).applyInPandas: one Arrow exchange keyed by term. The sort
-    to docID order happens inside the group (cheap: groups are shard-local).
-    """
+    One exchange keyed by term, then partition-sorted grouped encoding
+    (index/grouped.py): Arrow cost is per batch, not per term group —
+    per-group applyInPandas plumbing dominated the stage on realistic
+    (10k+ term) dictionaries."""
+    from tesserae_ng_spark.index.grouped import grouped_map_sorted
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return encode_term_group(pdf, block_size)
 
-    return term_doc_dl.groupBy("term").applyInPandas(fn, SHARD_BLOCK_SCHEMA)
+    return grouped_map_sorted(
+        term_doc_dl, ["term"], fn, SHARD_BLOCK_SCHEMA
+    )

@@ -1,0 +1,81 @@
+"""Grouped-map without per-group Arrow overhead.
+
+``groupBy(keys).applyInPandas(fn)`` pays one Arrow batch + pandas frame +
+schema round-trip PER GROUP. With a web-scale dictionary the build has
+10k–10M term groups per shard, and that fixed cost dominates the stage
+(measured: the sf0.1 merge spent ~25 of 30 s on group plumbing, not work).
+
+``grouped_map_sorted`` keeps the exact applyInPandas contract — ``fn``
+receives one pandas frame per complete key group — but runs it inside
+``mapInPandas`` over hash-partitioned, partition-sorted data: one Arrow
+batch carries MANY groups, group boundaries are found with numpy, and a
+group straddling two Arrow batches is carried over (partition-sorted data
+guarantees groups are contiguous and never span partitions).
+
+This is also exactly the SURVEY §2.11 `salted_repartition_sort` shape: the
+explicit repartition+sortWithinPartitions IS the physical exchange the
+index build is specified to use.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def grouped_map_sorted(
+    df: DataFrame,
+    keys: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """applyInPandas(fn) semantics over groupBy(*keys), amortized per batch.
+
+    ``fn`` sees each complete key group as one pandas frame (rows in
+    partition-sort order). Output frames are concatenated per Arrow batch.
+    """
+    sc = df.sparkSession.sparkContext
+    rep = df.repartition(n_parts or sc.defaultParallelism, *keys)
+    rep = rep.sortWithinPartitions(*keys)
+    key_list = list(keys)
+
+    def _emit(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        kv = pdf[key_list]
+        change = (kv != kv.shift()).any(axis=1).to_numpy()
+        change[0] = True
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pdf))
+        outs = []
+        for s, e in zip(starts, ends):
+            out = fn(pdf.iloc[s:e])
+            if len(out):
+                outs.append(out)
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            # hold back the trailing key group — it may continue in the
+            # next Arrow batch of this partition
+            kv = pdf[key_list]
+            tail_eq = (kv == kv.iloc[-1]).all(axis=1).to_numpy()
+            if tail_eq.all():
+                carry = pdf  # whole batch is one group; keep accumulating
+                continue
+            tail_len = int(tail_eq[::-1].argmin())
+            carry = pdf.iloc[len(pdf) - tail_len :]
+            yield from _emit(pdf.iloc[: len(pdf) - tail_len])
+        if carry is not None and len(carry):
+            yield from _emit(carry)
+
+    return rep.mapInPandas(runner, schema)

@@ -171,7 +171,14 @@ def merge_shard_blocks(
             )
         return pd.DataFrame(rows)
 
-    return routed.groupBy("term", "salt").applyInPandas(merge_group, POSTINGS_SCHEMA)
+    from tesserae_ng_spark.index.grouped import grouped_map_sorted
+
+    # one exchange keyed by (term, salt) + partition-sorted grouped merge:
+    # Arrow cost per batch, not per group (12k+ groups on a realistic
+    # dictionary made per-group applyInPandas plumbing ~5x the merge work)
+    return grouped_map_sorted(
+        routed, ["term", "salt"], merge_group, POSTINGS_SCHEMA
+    )
 
 
 def build_dictionary(postings: DataFrame, term_stats_cf: DataFrame, n_buckets: int) -> DataFrame:

@@ -79,7 +79,9 @@ def test_build_has_no_token_level_shuffle(spark, corpus):
     # asof window + term grouping, nothing else (may collapse to 1 when the
     # cache manager substitutes an earlier test's cached prepared subtree)
     assert 1 <= n_exchanges <= 2, f"n_exchanges={n_exchanges}\n{tree[:4000]}"
-    assert "FlatMapGroupsInPandas" in plan  # Arrow grouped-map encoder
+    # Arrow grouped encoder: partition-sorted MapInPandas (grouped.py) —
+    # per-batch Arrow cost, not per-term-group
+    assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
 
 
 def test_bm25_oracle_broadcasts_df_side(spark, corpus):
