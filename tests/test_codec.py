@@ -90,3 +90,44 @@ def test_empty_everything():
     assert varint_decode(b"").size == 0
     assert delta_decode_ids(b"").size == 0
     assert encode_positions([], np.empty(0)) == b""
+
+
+# ---------------------------------------------------------------------------
+# PForDelta (optional v2 codec; CODECS registry)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**64 - 1), min_size=0, max_size=300
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_pfor_roundtrip(vals):
+    from tesserae_ng_spark.index.codec import pfor_decode, pfor_encode
+
+    v = np.array(vals, dtype=np.uint64)
+    got = pfor_decode(pfor_encode(v))
+    assert got.dtype == np.uint64
+    assert np.array_equal(got, v)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=250), min_size=32, max_size=128)
+)
+@settings(max_examples=50, deadline=None)
+def test_pfor_denser_than_varint_on_clustered_gaps(gaps):
+    from tesserae_ng_spark.index.codec import pfor_encode
+
+    v = np.array(gaps, dtype=np.uint64)
+    # small clustered gaps (the posting-delta common case): PFor packs at
+    # ~8 bits/value where LEB128 needs >=8 bits + per-value framing
+    assert len(pfor_encode(v)) <= len(varint_encode(v)) + 16
+
+
+def test_codec_registry_dispatch():
+    from tesserae_ng_spark.index.codec import CODECS
+
+    v = np.array([5, 0, 2**40, 17], dtype=np.uint64)
+    for name, (enc, dec) in CODECS.items():
+        assert np.array_equal(dec(enc(v)), v), name
