@@ -106,6 +106,12 @@ def main():
     timings["query_batch"] = time.time() - t0
     out_json["queries_per_sec"] = round(len(queries) / timings["query_batch"], 2)
     out_json["batch_hits"] = n_hits
+    # warm batch: executor python workers + per-worker postings caches are
+    # hot — the steady-state number for a long-running query service
+    t0 = time.time()
+    search_batch(spark, idx_dir, queries, k=10).count()
+    warm_batch_s = time.time() - t0
+    out_json["queries_per_sec_warm"] = round(len(queries) / warm_batch_s, 2)
 
     searcher = Searcher(idx_dir)
     lat = []
@@ -116,9 +122,18 @@ def main():
         searcher.search(q["query_text"], k=q["k"], mode=q["mode"])
         lat.append((time.time() - t1) * 1000)
     timings["query_latency"] = time.time() - t0
+    # warm repeat of the full set: postings LRU hot → service steady state
+    warm = []
+    for q in queries:
+        t1 = time.time()
+        searcher.search(q["query_text"], k=q["k"], mode=q["mode"])
+        warm.append((time.time() - t1) * 1000)
     lat.sort()
+    warm.sort()
     out_json["p50_ms"] = round(lat[len(lat) // 2], 3)
     out_json["p99_ms"] = round(lat[int(len(lat) * 0.99)], 3)
+    out_json["p50_warm_ms"] = round(warm[len(warm) // 2], 3)
+    out_json["p99_warm_ms"] = round(warm[int(len(warm) * 0.99)], 3)
     out_json["single_qps"] = round(200 / timings["query_latency"], 2)
 
     # --- headline operator queries ------------------------------------------

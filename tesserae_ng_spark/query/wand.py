@@ -253,6 +253,18 @@ def bm25_global_topk(
             idf = math.log(1.0 + (n_docs - tp.df + 0.5) / (tp.df + 0.5))
             scores = idf * tfs / (tfs + k1 * (1.0 - b + b * dls / avg_dl))
             rows = np.searchsorted(global_docs, ids)
+            # validate the mapping once per term: if the docs table and the
+            # postings drifted (stale-shard merge, docs read from a
+            # different build), searchsorted would scatter scores into the
+            # WRONG doc rows silently — fail loudly instead.
+            if rows.size and (
+                int(rows.max()) >= global_docs.size
+                or not np.array_equal(global_docs[rows], ids)
+            ):
+                raise RuntimeError(
+                    f"postings/docs drift: term {tp.term!r} has doc ids "
+                    "absent from the docs table — index dirs out of sync"
+                )
             cached = (rows, scores)
             tp._rows_scores = cached
         rows, scores = cached

@@ -53,7 +53,7 @@ def run_level(cpus: int, sf_dir: str, zpath: str) -> dict:
         # enough parallel work that per-core throughput, not driver-side
         # job orchestration, decides the ratio (the efficiency criterion
         # measures the distributed pipeline, not JVM job-submission floors)
-        SPARK_GRAFT_REPLICAS=os.environ.get("SPARK_GRAFT_REPLICAS", "384"),
+        SPARK_GRAFT_REPLICAS=os.environ.get("SPARK_GRAFT_REPLICAS", "96"),
         SPARK_GRAFT_NPARTS=os.environ.get("SPARK_GRAFT_NPARTS", "2"),
     )
     cmd = [
