@@ -18,3 +18,11 @@ AQE handle pushdown, pruning, join strategy and skew; the custom physics
 """
 
 __version__ = "0.1.0"
+
+# Allocator tuning for lazily-backed-VM first-touch pathology (see
+# memtune.py; TNG_NO_MALLOC_TUNE=1 to disable). Runs once per process —
+# Spark executor python workers import this package when unpickling UDFs,
+# so every worker gets it too.
+from tesserae_ng_spark.memtune import tune_allocator as _tune_allocator
+
+_tune_allocator()

@@ -1,0 +1,74 @@
+"""Allocator tuning for Arrow/numpy-heavy worker processes.
+
+On VMs with lazily-backed guest memory (first-touch page faults exiting to
+the host), numpy's large transient arrays are pathological with glibc's
+default malloc: every allocation over the 128 KiB mmap threshold is a
+fresh mmap whose pages fault on first touch and are munmapped on free —
+measured here at ~300 µs/page, turning a 16 ms varint decode into 1.2 s,
+and 32 Spark python workers doing mmap/munmap cycles into a cross-process
+TLB-shootdown storm (a large part of round 1's "memory bandwidth wall").
+
+Fix: pin M_MMAP_THRESHOLD high so large blocks come from the brk heap,
+which stays faulted at its high-water mark, and pre-fault a small arena.
+Measured effect: first-call varint decode 4.6 s → 38 ms in a fresh
+process; steady-state behavior unchanged.
+
+Called at package import (once per process — driver AND executor python
+workers, which import this package when unpickling UDFs). Disable with
+TNG_NO_MALLOC_TUNE=1. No-op off glibc.
+"""
+
+from __future__ import annotations
+
+import os
+
+_done = False
+
+
+def tune_allocator(warm_mb: int = 8) -> bool:
+    """Pin the malloc mmap threshold and pre-fault ``warm_mb`` of heap.
+
+    Idempotent per process; returns True if tuning was applied.
+    """
+    global _done
+    if _done or os.environ.get("TNG_NO_MALLOC_TUNE"):
+        return False
+    _done = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_MMAP_THRESHOLD = -3
+        if libc.mallopt(M_MMAP_THRESHOLD, 1 << 30) != 1:
+            return False
+    except Exception:
+        return False
+    try:
+        # pyarrow's default (jemalloc/mimalloc) pool mmaps + madvises its
+        # arenas independently of glibc — the same first-touch churn on
+        # every cold parquet fetch (measured: cold 3-term fetch 5.6 s →
+        # 0.9 s after routing Arrow through the now-heap-backed system
+        # allocator). Harmless where guest memory is eagerly backed.
+        import pyarrow as pa
+
+        pa.set_memory_pool(pa.system_memory_pool())
+    except Exception:
+        pass
+    prefault(warm_mb)
+    return True
+
+
+def prefault(mb: int) -> None:
+    """Grow + touch the heap to ≥ ``mb`` MiB so subsequent transient numpy
+    arrays reuse already-faulted pages. Cheap when the heap is already hot;
+    latency-sensitive entry points (IndexReader) call this with a larger
+    arena than the import-time default."""
+    if os.environ.get("TNG_NO_MALLOC_TUNE"):
+        return
+    try:
+        import numpy as np
+
+        warm = np.ones((mb << 20) // 8, dtype=np.uint64)
+        del warm
+    except Exception:
+        pass

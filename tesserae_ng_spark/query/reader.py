@@ -162,6 +162,11 @@ class TermPostings:
 
 class IndexReader:
     def __init__(self, index_dir: str, term_cache_size: int = 65_536):
+        from tesserae_ng_spark.memtune import prefault
+
+        # queries are latency-sensitive: pre-fault a decode-sized arena so
+        # a head term's first decode reuses hot heap pages (memtune.py)
+        prefault(64)
         self.index_dir = index_dir
         # term → TermPostings LRU (the Solr/Lucene query-cache analog,
         # SURVEY.md §4): the index is immutable, so cached postings never

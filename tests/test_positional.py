@@ -168,3 +168,33 @@ def test_cover_span_vectorized_matches_reference():
             r2, s2 = _min_span_2term_vectorized(keys[0], keys[1])
             assert r2.tolist() == rows.tolist()
             assert s2.tolist() == spans.tolist()
+
+
+def test_position_overflow_falls_back_to_per_doc():
+    """Docs with positions beyond the packed-key budget (>= 2^21) must take
+    the per-doc path and return the same matches, not corrupt keys."""
+    from tesserae_ng_spark.query.search import _ROW_SHIFT
+
+    big = int(_ROW_SHIFT) + 10  # a "2M-token" document's tail positions
+    docs_pos = {
+        1: {"a": [big], "b": [big + 1]},          # adjacent at huge offsets
+        2: {"a": [5], "b": [6]},                   # normal doc
+        3: {"a": [big], "b": [big + 500]},         # far apart at huge offsets
+    }
+    postings = {
+        t: [
+            (d, len(per[t]), sum(len(v) for v in per.values()), per[t])
+            for d, per in docs_pos.items()
+            if t in per
+        ]
+        for t in ("a", "b")
+    }
+    n, avg = 3, 4.0
+    tps = {
+        t: build_term_postings(t, ps, n, avg, block_size=4)
+        for t, ps in postings.items()
+    }
+    got_phrase = {d for d, _ in phrase_topk([tps["a"], tps["b"]], n, avg, k=10)}
+    assert got_phrase == {1, 2}
+    got_prox = {d for d, _ in proximity_topk([tps["a"], tps["b"]], 5, k=10)}
+    assert got_prox == {1, 2}
