@@ -56,7 +56,15 @@ class Searcher:
         self.lang = lang
 
     def search(self, query_text: str, k: int = 10, mode: str = "bm25",
-               window: int = 5) -> list[Hit]:
+               window: int = 5, global_stats: dict | None = None) -> list[Hit]:
+        """``global_stats`` (sharded/distributed search — the Solr
+        distributed-IDF analog): {"n_docs": int, "avg_dl": float,
+        "df": {term: global df}}. Scores become comparable across shards so
+        a driver-side merge of per-shard top-k is rank-identical to one
+        global index. Only the exhaustive scorers run under overridden
+        stats — stored block-max bounds were computed under shard-local
+        stats and would not be true upper bounds (WAND over shards needs a
+        two-pass build that stores bounds under global stats)."""
         terms = analyze_query(query_text, self.lang)
         if not terms:
             return []
@@ -64,6 +72,23 @@ class Searcher:
         if not fetched:
             return []
         if mode == "bm25":
+            if global_stats is not None:
+                n_docs = global_stats["n_docs"]
+                avg_dl = global_stats["avg_dl"]
+                dfo = global_stats.get("df")
+                if self.reader.n_docs <= GLOBAL_ACC_MAX_DOCS:
+                    top = bm25_global_topk(
+                        fetched, self.reader.global_doc_ids(),
+                        n_docs, avg_dl, k, df_override=dfo,
+                    )
+                else:
+                    top = bm25_dense_topk(
+                        fetched, n_docs, avg_dl, k, df_override=dfo
+                    )
+                return [
+                    Hit(rank=i + 1, doc_id=d, score=s)
+                    for i, (d, s) in enumerate(top)
+                ]
             # three exhaustive-equivalent scorers, picked by shape:
             # - global accumulator: dense postings + index fits a per-node
             #   row map (scatter-add per term, per-term work cached)

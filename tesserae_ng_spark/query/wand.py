@@ -233,6 +233,7 @@ def bm25_global_topk(
     k: int,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    df_override: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Global-accumulator exhaustive BM25: per-term (global_row, score)
     arrays are computed ONCE per term (cached on the TermPostings — the
@@ -241,16 +242,23 @@ def bm25_global_topk(
 
     Summation order per doc = sorted-term order (one add.at per term, in
     term order) — identical float results to wand_topk / the oracle.
+
+    ``df_override`` maps term → GLOBAL df for sharded search (Solr
+    distributed-IDF analog): scores become comparable across shards. The
+    per-term cache is keyed by the stats so shard-local and global-stats
+    queries never poison each other.
     """
     acc = np.zeros(global_docs.size, dtype=np.float64)
     for term in sorted(term_postings):
         tp = term_postings[term]
         if not tp.blocks:
             continue
+        df_t = df_override.get(term, tp.df) if df_override else tp.df
+        stats_key = (n_docs, avg_dl, df_t, k1, b)
         cached = getattr(tp, "_rows_scores", None)
-        if cached is None:
+        if cached is None or cached[0] != stats_key:
             ids, tfs, dls, _, _ = tp.decode_full()
-            idf = math.log(1.0 + (n_docs - tp.df + 0.5) / (tp.df + 0.5))
+            idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
             scores = idf * tfs / (tfs + k1 * (1.0 - b + b * dls / avg_dl))
             rows = np.searchsorted(global_docs, ids)
             # validate the mapping once per term: if the docs table and the
@@ -265,9 +273,9 @@ def bm25_global_topk(
                     f"postings/docs drift: term {tp.term!r} has doc ids "
                     "absent from the docs table — index dirs out of sync"
                 )
-            cached = (rows, scores)
+            cached = (stats_key, rows, scores)
             tp._rows_scores = cached
-        rows, scores = cached
+        _, rows, scores = cached
         acc[rows] += scores  # rows are unique per term → plain fancy add
     hit = np.nonzero(acc)[0]
     if hit.size == 0:
@@ -293,6 +301,7 @@ def bm25_dense_topk(
     k: int,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    df_override: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized exhaustive BM25 top-k — the dense-postings fast path.
 
@@ -312,7 +321,8 @@ def bm25_dense_topk(
         tp = term_postings[term]
         if not tp.blocks:
             continue
-        idf = math.log(1.0 + (n_docs - tp.df + 0.5) / (tp.df + 0.5))
+        df_t = df_override.get(term, tp.df) if df_override else tp.df
+        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
         ids, tfs, dls, _, _ = tp.decode_full()
         ids_parts.append(ids)
         score_parts.append(idf * tfs / (tfs + k1 * (1.0 - b + b * dls / avg_dl)))
