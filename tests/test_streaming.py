@@ -43,3 +43,42 @@ def test_incremental_stream_builds_queryable_index(spark, corpus, tmp_path):
     q2 = incremental_index_stream(spark, src, out, ckpt, max_files_per_trigger=2)
     q2.awaitTermination(120)
     assert len(all_manifests(out)) == before
+
+
+def test_crawl_rate_windowed_agg_matches_batch(spark, corpus, tmp_path):
+    """Watermarked windowed streaming agg == batch groupBy on finite input."""
+    from tesserae_ng_spark.streaming.monitor import (
+        crawl_rate_batch_oracle,
+        crawl_rate_stream,
+    )
+
+    src = str(tmp_path / "in")
+    corpus.repartition(4).write.parquet(src)
+    q = crawl_rate_stream(
+        spark, src, str(tmp_path / "ckpt"), query_name="crawl_rate_t",
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(300)
+    got = spark.table("crawl_rate_t")
+    want = crawl_rate_batch_oracle(spark.read.parquet(src))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_first_seen_stateful_dedupe(spark, corpus, tmp_path):
+    """applyInPandasWithState: one row per url, first appearance wins,
+    state survives across micro-batches."""
+    from tesserae_ng_spark.streaming.monitor import first_seen_stream
+
+    src = str(tmp_path / "in2")
+    corpus.repartition(6).write.parquet(src)  # several micro-batches
+    out = str(tmp_path / "firsts")
+    q = first_seen_stream(
+        spark, src, out, str(tmp_path / "ckpt2"), max_files_per_trigger=2
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    n_urls = corpus.select("url").distinct().count()
+    assert got.count() == n_urls
+    assert got.select("url").distinct().count() == n_urls
