@@ -183,3 +183,23 @@ def test_determinism_across_parallelism(spark, corpus, tmp_path):
     da = spark.read.parquet(f"{outs[0]}/dictionary")
     db = spark.read.parquet(f"{outs[1]}/dictionary")
     assert da.exceptAll(db).count() == 0 and db.exceptAll(da).count() == 0
+
+
+def test_merge_rejects_stale_shards(spark, corpus, tmp_path):
+    """ADVICE r1: reusing an out_dir with changed n_parts must not silently
+    merge stale shards — shrinking the partition count leaves a stray part
+    dir, and the merge lineage gate fails loudly."""
+    out = str(tmp_path / "idx_stale")
+    build_index(spark, corpus, out, n_parts=3, block_size=16, n_buckets=2)
+    with pytest.raises(ValueError, match="stray shard dirs"):
+        build_index(spark, corpus, out, n_parts=2, block_size=16, n_buckets=2)
+
+
+def test_param_change_rebuilds_not_resumes(spark, corpus, tmp_path):
+    """Changing a build-affecting param invalidates the fingerprint: the
+    second build REBUILDS every partition instead of skipping as done."""
+    out = str(tmp_path / "idx_params")
+    build_index(spark, corpus, out, n_parts=2, block_size=16, n_buckets=2)
+    res = build_index(spark, corpus, out, n_parts=2, block_size=32, n_buckets=2)
+    assert res.skipped_parts == []
+    assert res.built_parts == [0, 1]
