@@ -43,10 +43,18 @@ def grouped_map_sorted(
     rep = rep.sortWithinPartitions(*keys)
     key_list = list(keys)
 
-    def _emit(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
-        kv = pdf[key_list]
-        change = (kv != kv.shift()).any(axis=1).to_numpy()
+    def _key_change(kv: pd.DataFrame) -> np.ndarray:
+        # null-safe row-to-previous-row comparison: pandas `!=` treats
+        # NaN != NaN as a change, which would split a null-key group into
+        # per-row "groups" — match groupBy semantics (nulls group together)
+        prev = kv.shift()
+        equal = ((kv == prev) | (kv.isna() & prev.isna())).all(axis=1)
+        change = (~equal).to_numpy()
         change[0] = True
+        return change
+
+    def _emit(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        change = _key_change(pdf[key_list])
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(pdf))
         outs = []
@@ -66,9 +74,10 @@ def grouped_map_sorted(
             if not len(pdf):
                 continue
             # hold back the trailing key group — it may continue in the
-            # next Arrow batch of this partition
+            # next Arrow batch of this partition (null-safe, as in _key_change)
             kv = pdf[key_list]
-            tail_eq = (kv == kv.iloc[-1]).all(axis=1).to_numpy()
+            last = kv.iloc[-1]
+            tail_eq = ((kv == last) | (kv.isna() & last.isna())).all(axis=1).to_numpy()
             if tail_eq.all():
                 carry = pdf  # whole batch is one group; keep accumulating
                 continue

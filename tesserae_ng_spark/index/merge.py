@@ -118,7 +118,11 @@ def merge_shard_blocks(
             [bytes(x) for x in pdf["dls"]]
         ).astype(np.int64)
         pos_col = pdf["positions"]
-        has_pos = len(pdf) > 0 and pos_col.iloc[0] is not None
+        # positional only when EVERY block row carries positions — a mixed
+        # group (e.g. a with_positions=False shard merged next to positional
+        # ones via a direct _merge_all call) degrades to non-positional
+        # instead of crashing on bytes(None) or silently dropping some docs
+        has_pos = len(pdf) > 0 and all(b is not None for b in pos_col)
         if has_pos:
             # per-doc byte chunks, NO value decode (chunks are
             # self-contained: absolute first position per doc)

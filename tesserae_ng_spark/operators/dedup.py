@@ -97,16 +97,19 @@ def _batch_shingle_hashes(
                 for j in range(k):
                     acc = acc * _MIX + (hs[j] if j < hs.size else np.uint64(0))
                 extras[i] = acc
-        # merge: rebuild in doc order
+        # merge: rebuild in doc order — vectorized scatter (each existing
+        # shingle shifts right by the number of short docs before its doc)
         new_counts = sh_counts.copy()
         new_counts[short] = 1
         out = np.empty(int(new_counts.sum()), dtype=np.uint64)
-        pos = np.concatenate(([0], np.cumsum(new_counts)))
-        old_pos = np.concatenate(([0], np.cumsum(sh_counts)))
-        for d in range(n_docs):  # segment copy; dominated by long docs' slices
-            if sh_counts[d]:
-                out[pos[d] : pos[d + 1]] = sh[old_pos[d] : old_pos[d + 1]]
-        out[pos[short]] = extras
+        new_starts = np.cumsum(new_counts) - new_counts
+        old_starts = np.cumsum(sh_counts) - sh_counts
+        has = sh_counts > 0
+        shift = np.repeat(
+            new_starts[has] - old_starts[has], sh_counts[has]
+        )
+        out[np.arange(sh.size, dtype=np.int64) + shift] = sh
+        out[new_starts[short]] = extras
         return out, new_counts
     return sh, sh_counts
 

@@ -94,6 +94,8 @@ LSH_BITS = 3
 def lsh_band_buckets(emb_batch: pd.Series, planes: np.ndarray) -> list[list[int]]:
     """Vectorized band buckets: (n, dim) @ planes.T -> sign bits -> per-band
     bucket ints. One matrix multiply per Arrow batch — no per-row Python."""
+    if len(emb_batch) == 0:  # empty Arrow batch (empty fragment/partition)
+        return []
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb_batch])
     bits = (mat @ planes.T) > 0  # (n, BANDS*BITS)
     weights = 1 << np.arange(LSH_BITS)[::-1]

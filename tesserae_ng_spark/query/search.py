@@ -236,7 +236,7 @@ def _min_cover_span_vectorized(keys: list[np.ndarray]):
     T = len(keys)
     allk = np.concatenate(keys)
     term_of = np.concatenate(
-        [np.full(k.size, t, dtype=np.int8) for t, k in enumerate(keys)]
+        [np.full(k.size, t, dtype=np.int16) for t, k in enumerate(keys)]
     )
     order = np.argsort(allk, kind="stable")
     ks, ts = allk[order], term_of[order]

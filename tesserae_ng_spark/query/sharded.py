@@ -61,6 +61,14 @@ def search_sharded(spark, index_dirs: list[str], queries: list[dict], k: int = 1
     """Distributed BM25 over sharded indexes → DataFrame(query_id, rank,
     doc_id, score), rank-identical to a single union index."""
     sc = spark.sparkContext
+    bad = [q for q in queries if q.get("mode", "bm25") != "bm25"]
+    if bad:
+        raise ValueError(
+            "search_sharded supports bm25 only: phrase df is computed from "
+            "matches (shard-local would skew idf) and stored block bounds "
+            f"are shard-local — got mode(s) {sorted({q['mode'] for q in bad})}; "
+            "run phrase/proximity via search_batch per shard group"
+        )
     all_terms: set[str] = set()
     for q in queries:
         all_terms.update(analyze_query(q["query_text"]))

@@ -255,8 +255,14 @@ def bm25_global_topk(
             continue
         df_t = df_override.get(term, tp.df) if df_override else tp.df
         stats_key = (n_docs, avg_dl, df_t, k1, b)
-        cached = getattr(tp, "_rows_scores", None)
-        if cached is None or cached[0] != stats_key:
+        # small per-term cache dict: a node serving BOTH shard-local and
+        # global-stats (sharded) traffic keeps one entry per stats key
+        # instead of thrashing a single slot every alternation
+        cache = getattr(tp, "_rows_scores", None)
+        if cache is None:
+            cache = tp._rows_scores = {}
+        cached = cache.get(stats_key)
+        if cached is None:
             ids, tfs, dls, _, _ = tp.decode_full()
             idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
             scores = idf * tfs / (tfs + k1 * (1.0 - b + b * dls / avg_dl))
@@ -273,9 +279,10 @@ def bm25_global_topk(
                     f"postings/docs drift: term {tp.term!r} has doc ids "
                     "absent from the docs table — index dirs out of sync"
                 )
-            cached = (stats_key, rows, scores)
-            tp._rows_scores = cached
-        _, rows, scores = cached
+            if len(cache) >= 4:  # bounded: stats keys are few and stable
+                cache.clear()
+            cached = cache[stats_key] = (rows, scores)
+        rows, scores = cached
         acc[rows] += scores  # rows are unique per term → plain fancy add
     hit = np.nonzero(acc)[0]
     if hit.size == 0:
