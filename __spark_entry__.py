@@ -30,7 +30,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """Exactly 50 keys covering every SURVEY.md §2 operator (the driver
+    records at most 50 entries; same-shape operators share a key via
+    tagged/multi-column outputs — the consolidation map is SURVEY.md §2
+    "Driver key map"). Flagship/engine keys lead the canonical order."""
     from tesserae_ng_spark.operators import load_all
 
     return {k: fn for k, (fn, _) in load_all().items()}
