@@ -175,3 +175,21 @@ def test_roundtrip_html_ish_text():
     # text that itself contains markup-looking bytes must survive escaping
     t = "x < y & z > w <script>alert(1)</script> &amp; done"
     assert extract_text(make_html(1, "s", t)) == t
+
+
+def test_lang_id_rank_profiles():
+    """Cavnar-Trenkle rank-profile classifier: correct on real sample
+    sentences per supported language; 'und' on empty/degenerate input."""
+    import pandas as pd
+
+    from tesserae_ng_spark.operators.text import batch_lang_id
+
+    samples = {
+        "en": "the quick brown fox jumps over the lazy dog and runs into the forest",
+        "es": "el rapido zorro marron salta sobre el perro perezoso y corre hacia el bosque",
+        "fr": "le renard brun rapide saute par dessus le chien paresseux et court dans la foret",
+        "de": "der schnelle braune fuchs springt uber den faulen hund und lauft in den wald",
+    }
+    got = batch_lang_id(pd.Series(list(samples.values())))
+    assert got.tolist() == list(samples)
+    assert batch_lang_id(pd.Series(["", None, "xq"])).tolist() == ["und"] * 3
