@@ -55,7 +55,7 @@ KEY_ORDER = [
     # LLM-pipeline ops
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_embedding",
     "ngram_jaccard",
     "ann_bruteforce_topk",
     "ann_lsh_bucketed",

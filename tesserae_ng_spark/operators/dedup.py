@@ -159,8 +159,7 @@ def dedup_exact(spark, sf):
     )
 
 
-@register("dedup_minhash_lsh", None)  # engine-hash-based → rows-only check
-def dedup_minhash_lsh(spark, sf):
+def minhash_lsh_pairs(spark, sf):
     """MinHash+LSH near-dup candidate pairs with exact-Jaccard verification.
 
     shingle → 64-perm minhash (pandas UDF) → band buckets → self-join on
@@ -256,8 +255,7 @@ def batch_simhash(texts: pd.Series) -> np.ndarray:
     return out.view(np.int64)
 
 
-@register("dedup_simhash", None)  # engine-hash-based → rows-only check
-def dedup_simhash(spark, sf):
+def simhash_table(spark, sf):
     """64-bit SimHash per doc (Charikar 2002): sign of the weighted sum of
     term-hash bit vectors. Near-dups differ in few bits (Hamming ≤ 3)."""
 
@@ -268,6 +266,30 @@ def dedup_simhash(spark, sf):
     return t(spark, sf, "documents").select(
         "doc_id", _simhash("text").alias("simhash")
     )
+
+
+@register("dedup_minhash_lsh", None)  # engine-hash-based → rows-only check
+def dedup_minhash_lsh(spark, sf):
+    """Hash-family dedup in one driver key (50-key cap; SURVEY.md §2 map):
+      variant='minhash_pair' — LSH candidate pairs + exact-Jaccard verify
+        (id_a, id_b, v = jaccard)
+      variant='simhash'      — per-doc 64-bit fingerprint (dedup_simhash;
+        id_a = doc_id, v = fingerprint)
+    Both are engine-hash-defined (no SQL analog) → rows-only check; the
+    statistical contracts live in tests/test_dedup.py."""
+    pairs = minhash_lsh_pairs(spark, sf).select(
+        F.lit("minhash_pair").alias("variant"),
+        F.col("a").alias("id_a"),
+        F.col("b").alias("id_b"),
+        F.col("jaccard").cast("string").alias("v"),
+    )
+    sh = simhash_table(spark, sf).select(
+        F.lit("simhash").alias("variant"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(0).cast("long").alias("id_b"),
+        F.col("simhash").cast("string").alias("v"),
+    )
+    return pairs.unionByName(sh)
 
 
 @register(

@@ -78,6 +78,37 @@ def ann_bruteforce_topk(spark, sf):
     )
 
 
+EMB_DEDUP_TAU = 0.4  # cosine near-dup threshold (testdata margin ≥1e-4)
+
+
+@register(
+    "dedup_embedding",
+    f"""WITH p AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_cosine_similarity(a.embedding, b.embedding) AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+       SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM p
+       WHERE cos >= {EMB_DEDUP_TAU}""",
+)
+def dedup_embedding(spark, sf):
+    """Embedding-cosine near-duplicate pairs (cos ≥ τ), exact.
+
+    This is the VERIFICATION operator (exact all-pairs over one broadcast
+    side — bounded to the testdata-sized embedding sets where it is
+    hash-checked against DuckDB); the SWEEP path at 10^9+ vectors is the
+    banded LSH below: bucket candidates, exact-cosine check on candidates
+    only — same shape as minhash-LSH text dedup."""
+    emb = t(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("cv"))
+    return (
+        b.join(F.broadcast(a), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _cosine_cols().alias("cos"))
+        .filter(F.col("cos") >= EMB_DEDUP_TAU)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )
+
+
 # Banded random-hyperplane LSH (Charikar 2002 SimHash buckets + the banding
 # amplification of Leskovec et al. MMDS ch.3): BANDS independent tables of
 # BITS_PER_BAND hyperplane signs each. A candidate pair must agree on ALL

@@ -97,7 +97,7 @@ def test_shingle_counts_match_docs():
 def test_lsh_bands_find_planted_neardups(spark, sf_dir, tmp_path):
     """Planted 95%-overlap pairs must surface as LSH candidates with
     jaccard ≥ 0.5; unrelated docs must not pair up."""
-    from tesserae_ng_spark.operators.dedup import dedup_minhash_lsh
+    from tesserae_ng_spark.operators.dedup import minhash_lsh_pairs
 
     rng = np.random.RandomState(7)
     rows = []
@@ -114,7 +114,7 @@ def test_lsh_bands_find_planted_neardups(spark, sf_dir, tmp_path):
     df.write.parquet(f"{tmp_path}/documents.parquet")
     got = {
         (r["a"], r["b"])
-        for r in dedup_minhash_lsh(spark, str(tmp_path)).collect()
+        for r in minhash_lsh_pairs(spark, str(tmp_path)).collect()
     }
     planted = {(d * 2, d * 2 + 1) for d in range(30)}
     found = len(planted & got)
