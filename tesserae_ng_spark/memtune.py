@@ -13,9 +13,14 @@ which stays faulted at its high-water mark, and pre-fault a small arena.
 Measured effect: first-call varint decode 4.6 s → 38 ms in a fresh
 process; steady-state behavior unchanged.
 
-Called at package import (once per process — driver AND executor python
-workers, which import this package when unpickling UDFs). Disable with
-TNG_NO_MALLOC_TUNE=1. No-op off glibc.
+OPT-IN, not ambient: importing the library must not mutate process-global
+allocator state (ADVICE r2). The engine's own entry points
+(session.get_spark, IndexReader, bench) call ``tune_allocator(force=True)``;
+Spark executor python workers — which import this package when unpickling
+UDFs — get it via the TNG_MALLOC_TUNE=1 env var that get_spark exports
+before the JVM launches. A plain ``import tesserae_ng_spark`` in a host
+application applies nothing. TNG_NO_MALLOC_TUNE=1 overrides everything.
+No-op off glibc.
 """
 
 from __future__ import annotations
@@ -25,13 +30,17 @@ import os
 _done = False
 
 
-def tune_allocator(warm_mb: int = 8) -> bool:
+def tune_allocator(warm_mb: int = 8, force: bool = False) -> bool:
     """Pin the malloc mmap threshold and pre-fault ``warm_mb`` of heap.
 
-    Idempotent per process; returns True if tuning was applied.
+    Applies only when ``force`` (engine entry points) or TNG_MALLOC_TUNE=1
+    (Spark python workers, exported by get_spark). Idempotent per process;
+    returns True if tuning was applied.
     """
     global _done
     if _done or os.environ.get("TNG_NO_MALLOC_TUNE"):
+        return False
+    if not force and not os.environ.get("TNG_MALLOC_TUNE"):
         return False
     _done = True
     try:

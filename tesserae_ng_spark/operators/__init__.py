@@ -98,7 +98,15 @@ def load_all() -> dict:
         text,
     )
 
-    ordered = {k: REGISTRY[k] for k in KEY_ORDER if k in REGISTRY}
-    # safety: anything registered but missing from KEY_ORDER goes last
-    ordered.update({k: v for k, v in REGISTRY.items() if k not in ordered})
-    return ordered
+    # the driver records the FIRST 50 keys only — drift between the
+    # registry and KEY_ORDER must fail loudly, not slide past the cap
+    # (ADVICE r2): a typo'd @register or an unlisted new key would
+    # otherwise silently fall outside the recorded contract.
+    if set(REGISTRY) != set(KEY_ORDER) or len(KEY_ORDER) != 50:
+        extra = sorted(set(REGISTRY) - set(KEY_ORDER))
+        missing = sorted(set(KEY_ORDER) - set(REGISTRY))
+        raise RuntimeError(
+            f"driver key contract drift: {len(KEY_ORDER)} ordered / "
+            f"{len(REGISTRY)} registered; unlisted={extra} unregistered={missing}"
+        )
+    return {k: REGISTRY[k] for k in KEY_ORDER}

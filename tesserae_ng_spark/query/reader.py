@@ -162,10 +162,12 @@ class TermPostings:
 
 class IndexReader:
     def __init__(self, index_dir: str, term_cache_size: int = 65_536):
-        from tesserae_ng_spark.memtune import prefault
+        from tesserae_ng_spark.memtune import prefault, tune_allocator
 
-        # queries are latency-sensitive: pre-fault a decode-sized arena so
-        # a head term's first decode reuses hot heap pages (memtune.py)
+        # queries are latency-sensitive: tune the allocator (opt-in engine
+        # entry point — see memtune.py) and pre-fault a decode-sized arena
+        # so a head term's first decode reuses hot heap pages
+        tune_allocator(force=True)
         prefault(64)
         self.index_dir = index_dir
         # term → TermPostings LRU (the Solr/Lucene query-cache analog,

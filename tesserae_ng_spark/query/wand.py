@@ -262,6 +262,10 @@ def bm25_global_topk(
         if cache is None:
             cache = tp._rows_scores = {}
         cached = cache.get(stats_key)
+        if cached is not None:
+            # LRU refresh: re-insert so eviction removes the stalest key,
+            # not (via clear()) every entry at once
+            cache[stats_key] = cache.pop(stats_key)
         if cached is None:
             ids, tfs, dls, _, _ = tp.decode_full()
             idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
@@ -280,7 +284,7 @@ def bm25_global_topk(
                     "absent from the docs table — index dirs out of sync"
                 )
             if len(cache) >= 4:  # bounded: stats keys are few and stable
-                cache.clear()
+                cache.pop(next(iter(cache)))  # evict LRU entry only
             cached = cache[stats_key] = (rows, scores)
         rows, scores = cached
         acc[rows] += scores  # rows are unique per term → plain fancy add

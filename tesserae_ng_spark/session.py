@@ -13,6 +13,14 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # allocator tuning is opt-in (memtune.py): tune this driver process and
+    # export the env var BEFORE the JVM launches so local-mode python
+    # workers (forked under the JVM) inherit it; spark.executorEnv carries
+    # it to real-cluster executors.
+    from tesserae_ng_spark.memtune import tune_allocator
+
+    os.environ.setdefault("TNG_MALLOC_TUNE", "1")
+    tune_allocator(force=True)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     b = (
@@ -29,6 +37,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.executorEnv.TNG_MALLOC_TUNE", "1")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

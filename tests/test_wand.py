@@ -84,6 +84,36 @@ def test_wand_tie_break_doc_id_asc():
     assert [d for d, _ in got] == [3, 7]
 
 
+def test_global_topk_stats_cache_evicts_lru_only():
+    # 5 alternating stats keys on a 4-entry cache: eviction must drop the
+    # single least-recently-used entry, not wipe the cache (a node serving
+    # shard-local + global traffic would otherwise re-decode every term on
+    # each alternation)
+    corpus = {d: {"a": 1 + d % 4} for d in range(50)}
+    dls = {d: sum(t.values()) for d, t in corpus.items()}
+    tps, n, avg = make_index(corpus, dls, 8)
+    tp = tps["a"]
+    global_docs = np.array(sorted(corpus), dtype=np.int64)
+    misses = []
+    orig = tp.decode_full
+    tp.decode_full = lambda *a, **k: (misses.append(1), orig(*a, **k))[1]
+
+    stats = [(n + i, avg + i) for i in range(5)]  # 5 distinct stats keys
+    for nd, ad in stats[:4]:
+        bm25_global_topk({"a": tp}, global_docs, nd, ad, 5)
+    assert len(misses) == 4
+    for nd, ad in stats[:4]:  # all four still cached
+        bm25_global_topk({"a": tp}, global_docs, nd, ad, 5)
+    assert len(misses) == 4
+    bm25_global_topk({"a": tp}, global_docs, *stats[4], 5)  # evicts stats[0]
+    assert len(misses) == 5
+    for nd, ad in stats[1:5]:  # survivors stay cached (clear() would miss)
+        bm25_global_topk({"a": tp}, global_docs, nd, ad, 5)
+    assert len(misses) == 5
+    bm25_global_topk({"a": tp}, global_docs, *stats[0], 5)  # truly evicted
+    assert len(misses) == 6
+
+
 def test_skip_heavy_case():
     # one rare high-idf term + one ubiquitous term: BMW should still return
     # exactly the exhaustive answer across many block boundaries
