@@ -49,6 +49,8 @@ def build_term_postings(
                 first_doc=int(ids[sl][0]),
                 last_doc=int(ids[sl][-1]),
                 max_score=float(scores[sl].max()),
+                max_tf=int(tfs[sl].max()),
+                min_dl=int(dls[sl].min()),
                 _doc_ids=delta_encode_ids(ids[sl]),
                 _tfs=varint_encode(tfs[sl].astype(np.uint64)),
                 _dls=varint_encode(dls[sl].astype(np.uint64)),

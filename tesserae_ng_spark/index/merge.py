@@ -163,6 +163,8 @@ def merge_shard_blocks(
                     "block_first_doc": int(ids_b[0]),
                     "block_last_doc": int(ids_b[-1]),
                     "block_max_score": float(scores[sl].max()),
+                    "block_max_tf": int(tfs_b.max()),
+                    "block_min_dl": int(all_dls[sl].min()),
                     "doc_ids": delta_encode_ids(ids_b),
                     "tfs": varint_encode(tfs_b.astype(np.uint64)),
                     "dls": varint_encode(all_dls[sl].astype(np.uint64)),

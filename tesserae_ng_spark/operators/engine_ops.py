@@ -44,7 +44,16 @@ def ensure_es_index(spark, sf_dir: str) -> str:
 
     out = f"/tmp/tesserae_idx_{LANG}_{os.path.basename(os.path.normpath(sf_dir))}"
     if os.path.exists(f"{out}/stats.json"):
-        return out
+        # format gate: a cached index from before the stats-free-bounds
+        # columns (block_max_tf/min_dl) must rebuild, not half-work
+        import pyarrow.dataset as _ds
+
+        names = _ds.dataset(f"{out}/postings", partitioning="hive").schema.names
+        if "block_max_tf" in names:
+            return out
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
     corpus = synthesize_corpus(spark, sf_dir)
     build_index(
         spark,

@@ -84,6 +84,11 @@ def _xxhash64_str(s: str) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h  # as signed int64
 
 
+# payload-not-yet-read sentinel: distinct from None, which means "this
+# index was built without positions" for the positions payload
+_UNLOADED = object()
+
+
 @dataclass
 class Block:
     block_id: int
@@ -91,14 +96,25 @@ class Block:
     first_doc: int
     last_doc: int
     max_score: float
-    _doc_ids: bytes
-    _tfs: bytes
-    _dls: bytes
-    _positions: bytes | None
+    _doc_ids: object = _UNLOADED  # bytes once loaded
+    _tfs: object = _UNLOADED
+    _dls: object = _UNLOADED
+    _positions: object = _UNLOADED  # bytes | None (non-positional index)
     _decoded: tuple | None = None
+    # stats-free bound ingredients (None on pre-v2 indexes → WAND under
+    # overridden stats unavailable, exhaustive scorers still exact)
+    max_tf: int | None = None
+    min_dl: int | None = None
+    salt: int = 0
+    _owner: object = None  # TermPostings backref for lazy payload load
 
     def decode(self):
         if self._decoded is None:
+            if self._doc_ids is _UNLOADED:
+                # lazy path: blocks are fetched metadata-only; the payload
+                # loads (with segment readahead) only when WAND actually
+                # lands here — skipped blocks never cost I/O (VERDICT r2 #4)
+                self._owner.ensure_payloads([self], segment=True)
             ids = delta_decode_ids(self._doc_ids)
             tfs = varint_decode(self._tfs).astype(np.int64)
             dls = varint_decode(self._dls).astype(np.int64)
@@ -107,6 +123,8 @@ class Block:
 
     def decode_positions(self):
         _, tfs, _ = self.decode()
+        if self._positions is _UNLOADED:
+            self._owner.ensure_payloads([self], with_positions=True, segment=True)
         if self._positions is None:
             return None
         return decode_positions(self._positions, tfs)
@@ -120,6 +138,28 @@ class TermPostings:
     max_score: float
     blocks: list  # Block, ordered (salt asc, block_id asc) == docID order
     _full: tuple | None = None
+    _loader: object = None  # set by IndexReader; None for in-memory indexes
+    _bucket: int | None = None
+
+    def ensure_payloads(
+        self, blocks=None, with_positions: bool = False, segment: bool = False
+    ) -> None:
+        """Load the compressed payload bytes for ``blocks`` (default: all)
+        if not yet read. ``segment`` turns a single-block demand into a
+        readahead window (IndexReader._load_payloads)."""
+        need = [
+            blk
+            for blk in (self.blocks if blocks is None else blocks)
+            if blk._doc_ids is _UNLOADED
+            or (with_positions and blk._positions is _UNLOADED)
+        ]
+        if not need:
+            return
+        if self._loader is None:
+            raise RuntimeError(
+                f"term {self.term!r}: payload bytes missing and no loader"
+            )
+        self._loader(self, need, with_positions, segment)
 
     def decode_full(self, with_positions: bool = False) -> tuple:
         """Decode ALL blocks in one concatenated pass → (ids, tfs, dls,
@@ -138,6 +178,7 @@ class TermPostings:
         need_pos = with_positions
         if self._full is not None and (not need_pos or self._full[3] is not None):
             return self._full
+        self.ensure_payloads(with_positions=need_pos)
         counts = _np.array([b.n_docs for b in self.blocks], dtype=_np.int64)
         ids = concat_decode_ids([b._doc_ids for b in self.blocks], counts)
         tfs = concat_decode_varints([b._tfs for b in self.blocks]).astype(_np.int64)
@@ -160,8 +201,21 @@ class TermPostings:
         return self._full
 
 
+_META_COLS = (
+    "term", "salt", "block_id", "n_docs", "block_first_doc",
+    "block_last_doc", "block_max_score",
+)
+_PAYLOAD_COLS = ("doc_ids", "tfs", "dls")
+
+# single-block demand loads are expanded to this many contiguous blocks
+# (readahead): WAND's next advance usually lands nearby, and one pyarrow
+# scan per block would drown selective queries in per-scan fixed costs
+PAYLOAD_SEGMENT_BLOCKS = 32
+
+
 class IndexReader:
-    def __init__(self, index_dir: str, term_cache_size: int = 65_536):
+    def __init__(self, index_dir: str, term_cache_size: int = 65_536,
+                 dict_pin_max_terms: int = 1_000_000):
         from tesserae_ng_spark.memtune import prefault, tune_allocator
 
         # queries are latency-sensitive: tune the allocator (opt-in engine
@@ -186,13 +240,20 @@ class IndexReader:
         self._post_ds = ds.dataset(
             os.path.join(index_dir, "postings"), partitioning="hive"
         )
-        # small dictionaries (≤ ~1M terms) are cheaper to pin in memory than
-        # to filter-scan per query; web-scale vocabularies fall back to
-        # pushdown reads (parquet row-group stats on the term-sorted file)
+        # small dictionaries (≤ dict_pin_max_terms) are cheaper to pin in
+        # memory than to filter-scan per query; web-scale vocabularies fall
+        # back to pushdown reads (parquet row-group stats on the
+        # term-sorted file) — the fallback is pinned by tests with
+        # dict_pin_max_terms=0
         self._dict_cache: dict[str, dict] | None = None
-        if self._dict_ds.count_rows() <= 1_000_000:
+        if self._dict_ds.count_rows() <= dict_pin_max_terms:
             tbl = self._dict_ds.to_table()
             self._dict_cache = {r["term"]: r for r in tbl.to_pylist()}
+        # instrumentation: blocks whose payload bytes were actually read /
+        # payload scans issued (tests pin that WAND-skipped blocks never
+        # materialize; ops can watch I/O amplification)
+        self.payload_blocks_loaded = 0
+        self.payload_scans = 0
 
     def lookup(self, terms: list[str]) -> dict[str, dict]:
         """dictionary rows for terms (missing terms absent from result)."""
@@ -227,51 +288,154 @@ class IndexReader:
         return cached
 
     def _fetch_uncached(self, terms: list[str]) -> dict[str, TermPostings]:
+        """METADATA-ONLY block fetch: no payload (binary) columns cross the
+        scan. A head term's postings are GBs at web scale — eagerly pulling
+        them made skipping pointless (block-max WAND skipped the *decode*
+        but the I/O had already happened). Payloads load on demand via
+        ensure_payloads/_load_payloads."""
         dic = self.lookup(terms)
         if not dic:
             return {}
         buckets = sorted({int(_xxhash64_str(t) % self.n_buckets) for t in dic})
+        names = set(self._post_ds.schema.names)
+        has_sf = "block_max_tf" in names  # pre-v2 indexes lack these
+        meta_cols = _META_COLS + (
+            ("block_max_tf", "block_min_dl") if has_sf else ()
+        )
         tbl = self._post_ds.to_table(
             filter=(
                 pc.field("bucket").isin(buckets)
                 & pc.field("term").isin(sorted(dic))
-            )
+            ),
+            columns=list(meta_cols),
         )
-        cols = {c: tbl.column(c).to_pylist() for c in (
-            "term", "salt", "block_id", "n_docs", "block_first_doc",
-            "block_last_doc", "block_max_score", "doc_ids", "tfs", "dls",
-            "positions",
-        )}
+        cols = {c: tbl.column(c).to_pylist() for c in meta_cols}
         per_term: dict[str, list] = {t: [] for t in dic}
         for i in range(tbl.num_rows):
             per_term[cols["term"][i]].append(
-                (
-                    cols["salt"][i],
-                    cols["block_id"][i],
-                    Block(
-                        block_id=cols["block_id"][i],
-                        n_docs=cols["n_docs"][i],
-                        first_doc=cols["block_first_doc"][i],
-                        last_doc=cols["block_last_doc"][i],
-                        max_score=cols["block_max_score"][i],
-                        _doc_ids=cols["doc_ids"][i],
-                        _tfs=cols["tfs"][i],
-                        _dls=cols["dls"][i],
-                        _positions=cols["positions"][i],
-                    ),
+                Block(
+                    block_id=cols["block_id"][i],
+                    n_docs=cols["n_docs"][i],
+                    first_doc=cols["block_first_doc"][i],
+                    last_doc=cols["block_last_doc"][i],
+                    max_score=cols["block_max_score"][i],
+                    max_tf=cols["block_max_tf"][i] if has_sf else None,
+                    min_dl=cols["block_min_dl"][i] if has_sf else None,
+                    salt=cols["salt"][i],
                 )
             )
         out = {}
         for t, lst in per_term.items():
-            lst.sort(key=lambda x: (x[0], x[1]))  # (salt, block_id) = doc order
-            out[t] = TermPostings(
+            lst.sort(key=lambda blk: (blk.salt, blk.block_id))  # = doc order
+            tp = TermPostings(
                 term=t,
                 df=dic[t]["df"],
                 cf=dic[t]["cf"],
                 max_score=dic[t]["max_score"],
-                blocks=[b for _, _, b in lst],
+                blocks=lst,
+                _loader=self._load_payloads,
+                _bucket=int(_xxhash64_str(t) % self.n_buckets),
             )
+            for blk in lst:
+                blk._owner = tp
+            out[t] = tp
         return out
+
+    def _load_payloads(
+        self, tp: TermPostings, blocks: list, with_positions: bool,
+        segment: bool,
+    ) -> None:
+        """One pyarrow scan for the requested blocks' payload bytes.
+
+        ``segment``: expand each demanded block to a PAYLOAD_SEGMENT_BLOCKS
+        readahead window of its neighbors (list-position aligned) — WAND's
+        next landing is usually nearby, and per-block scans would pay the
+        per-scan fixed cost hundreds of times per term."""
+        if segment and len(tp.blocks) > len(blocks):
+            index_of = {id(blk): i for i, blk in enumerate(tp.blocks)}
+            want: set[int] = set()
+            for blk in blocks:
+                i = index_of[id(blk)]
+                lo = (i // PAYLOAD_SEGMENT_BLOCKS) * PAYLOAD_SEGMENT_BLOCKS
+                want.update(range(lo, min(lo + PAYLOAD_SEGMENT_BLOCKS, len(tp.blocks))))
+            blocks = [
+                tp.blocks[i]
+                for i in sorted(want)
+                if tp.blocks[i]._doc_ids is _UNLOADED
+                or (with_positions and tp.blocks[i]._positions is _UNLOADED)
+            ]
+        salts = sorted({blk.salt for blk in blocks})
+        bids = sorted({blk.block_id for blk in blocks})
+        cols = ["salt", "block_id", *_PAYLOAD_COLS] + (
+            ["positions"] if with_positions else []
+        )
+        tbl = self._post_ds.to_table(
+            filter=(
+                (pc.field("bucket") == tp._bucket)
+                & (pc.field("term") == tp.term)
+                & pc.field("salt").isin(salts)
+                & pc.field("block_id").isin(bids)
+            ),
+            columns=cols,
+        )
+        self.payload_scans += 1
+        self._attach_payloads(tp, tbl, with_positions)
+
+    def _attach_payloads(self, tp: TermPostings, tbl, with_positions: bool):
+        bmap = {(blk.salt, blk.block_id): blk for blk in tp.blocks}
+        got = {c: tbl.column(c).to_pylist() for c in tbl.schema.names}
+        for i in range(tbl.num_rows):
+            blk = bmap.get((got["salt"][i], got["block_id"][i]))
+            if blk is None:
+                continue  # over-selected (salt × block_id cross product)
+            if blk._doc_ids is _UNLOADED:
+                self.payload_blocks_loaded += 1
+                blk._doc_ids = got["doc_ids"][i]
+                blk._tfs = got["tfs"][i]
+                blk._dls = got["dls"][i]
+            if with_positions and blk._positions is _UNLOADED:
+                blk._positions = got["positions"][i]
+
+    def ensure_payloads(
+        self, tps, with_positions: bool = False, max_df: int | None = None,
+    ) -> None:
+        """Bulk payload load for many terms in ONE scan — the batch/dense
+        path (a slice's union of query terms, or an exhaustive scorer
+        touching every block anyway). ``max_df`` skips huge terms so a
+        batch prefetch can stay lazy on exactly the head terms where
+        block-max skipping pays."""
+        need = [
+            tp
+            for tp in tps
+            if (max_df is None or tp.df <= max_df)
+            and any(
+                blk._doc_ids is _UNLOADED
+                or (with_positions and blk._positions is _UNLOADED)
+                for blk in tp.blocks
+            )
+        ]
+        if not need:
+            return
+        cols = ["term", "salt", "block_id", *_PAYLOAD_COLS] + (
+            ["positions"] if with_positions else []
+        )
+        tbl = self._post_ds.to_table(
+            filter=(
+                pc.field("bucket").isin(sorted({tp._bucket for tp in need}))
+                & pc.field("term").isin(sorted(tp.term for tp in need))
+            ),
+            columns=cols,
+        )
+        self.payload_scans += 1
+        by_term = {tp.term: tp for tp in need}
+        terms_arr = tbl.column("term")
+        # split rows per term, attach via each term's block map
+        import pyarrow.compute as _pc
+
+        for term, tp in by_term.items():
+            sub = tbl.filter(_pc.equal(terms_arr, term))
+            if sub.num_rows:
+                self._attach_payloads(tp, sub, with_positions)
 
     def global_doc_ids(self):
         """Sorted array of every doc_id in the index (lazy, cached).

@@ -29,7 +29,12 @@ import numpy as np
 
 from tesserae_ng_spark.functions.analysis import analyze_query
 from tesserae_ng_spark.query.reader import IndexReader, TermPostings
-from tesserae_ng_spark.query.wand import bm25_dense_topk, bm25_global_topk, wand_topk
+from tesserae_ng_spark.query.wand import (
+    StatsFreeBoundsUnavailable,
+    bm25_dense_topk,
+    bm25_global_topk,
+    wand_topk,
+)
 from tesserae_ng_spark.schemas import BM25_B, BM25_K1
 
 # per-node cap for the dense global accumulator (8B/doc); larger indexes
@@ -41,6 +46,11 @@ GLOBAL_ACC_MAX_DOCS = 100_000_000
 # enough to score outright, while huge head-term unions are exactly where
 # block-max skipping pays. ~16M postings ≈ the numpy/WAND crossover here.
 DENSE_POSTINGS_CUTOFF = 1 << 24
+
+# batch prefetch loads payload bytes eagerly only for terms up to this df;
+# heavier terms stay metadata-only so block-max WAND's lazy per-segment
+# payload loads skip real I/O exactly where postings are GBs
+PREFETCH_MAX_DF = 1 << 20
 
 
 @dataclass
@@ -61,10 +71,10 @@ class Searcher:
         distributed-IDF analog): {"n_docs": int, "avg_dl": float,
         "df": {term: global df}}. Scores become comparable across shards so
         a driver-side merge of per-shard top-k is rank-identical to one
-        global index. Only the exhaustive scorers run under overridden
-        stats — stored block-max bounds were computed under shard-local
-        stats and would not be true upper bounds (WAND over shards needs a
-        two-pass build that stores bounds under global stats)."""
+        global index. Block-max WAND runs under overridden stats too: the
+        index stores stats-free per-block (max_tf, min_dl) and bounds are
+        recomputed under the query's (n_docs, avg_dl, df) — see
+        TermIterator; only a pre-v2 index falls back to exhaustive."""
         terms = analyze_query(query_text, self.lang)
         if not terms:
             return []
@@ -75,7 +85,32 @@ class Searcher:
             if global_stats is not None:
                 n_docs = global_stats["n_docs"]
                 avg_dl = global_stats["avg_dl"]
-                dfo = global_stats.get("df")
+                dfo = global_stats.get("df") or {}
+            else:
+                n_docs = self.reader.n_docs
+                avg_dl = self.reader.avg_dl
+                dfo = None
+            # three exhaustive-equivalent scorers, picked by shape:
+            # - block-max WAND: huge unions where skipping pays. Under
+            #   overridden (sharded/global) stats it runs on stats-free
+            #   bounds recomputed from per-block (max_tf, min_dl); a pre-v2
+            #   index without that metadata falls through to exhaustive.
+            # - global accumulator: dense postings + index fits a per-node
+            #   row map (scatter-add per term, per-term work cached)
+            # - vectorized dense: small posting unions, no global map
+            total_postings = sum(tp.df for tp in fetched.values())
+            top = None
+            if total_postings > DENSE_POSTINGS_CUTOFF:
+                try:
+                    top = wand_topk(
+                        fetched, n_docs, avg_dl, k, df_override=dfo
+                    )
+                except StatsFreeBoundsUnavailable:
+                    top = None  # old index + overridden stats → exhaustive
+            if top is None:
+                # exhaustive scorers decode every block — bulk-load all
+                # payloads in one scan instead of one scan per term
+                self.reader.ensure_payloads(fetched.values())
                 if self.reader.n_docs <= GLOBAL_ACC_MAX_DOCS:
                     top = bm25_global_topk(
                         fetched, self.reader.global_doc_ids(),
@@ -85,37 +120,19 @@ class Searcher:
                     top = bm25_dense_topk(
                         fetched, n_docs, avg_dl, k, df_override=dfo
                     )
-                return [
-                    Hit(rank=i + 1, doc_id=d, score=s)
-                    for i, (d, s) in enumerate(top)
-                ]
-            # three exhaustive-equivalent scorers, picked by shape:
-            # - global accumulator: dense postings + index fits a per-node
-            #   row map (scatter-add per term, per-term work cached)
-            # - vectorized dense: small posting unions, no global map
-            # - block-max WAND: huge unions where skipping pays
-            total_postings = sum(tp.df for tp in fetched.values())
-            if total_postings > DENSE_POSTINGS_CUTOFF:
-                top = wand_topk(fetched, self.reader.n_docs, self.reader.avg_dl, k)
-            elif self.reader.n_docs <= GLOBAL_ACC_MAX_DOCS:
-                top = bm25_global_topk(
-                    fetched, self.reader.global_doc_ids(),
-                    self.reader.n_docs, self.reader.avg_dl, k,
-                )
-            else:
-                top = bm25_dense_topk(
-                    fetched, self.reader.n_docs, self.reader.avg_dl, k
-                )
         elif mode == "phrase":
             ordered = [fetched[t] for t in terms if t in fetched]
             if len(ordered) < len(terms):
                 return []  # a phrase term missing from the corpus → no match
+            self.reader.ensure_payloads(ordered, with_positions=True)
             top = phrase_topk(ordered, self.reader.n_docs, self.reader.avg_dl, k)
         elif mode == "proximity":
             uniq = sorted(set(terms))
             if any(t not in fetched for t in uniq):
                 return []
-            top = proximity_topk([fetched[t] for t in uniq], window, k)
+            tps = [fetched[t] for t in uniq]
+            self.reader.ensure_payloads(tps, with_positions=True)
+            top = proximity_topk(tps, window, k)
         else:
             raise ValueError(f"unknown mode {mode!r}")
         return [Hit(rank=i + 1, doc_id=d, score=s) for i, (d, s) in enumerate(top)]
@@ -307,20 +324,27 @@ def _intersect_decoded(tps: list[TermPostings]):
     return decoded, idxs, common
 
 
-def phrase_topk(ordered_tps: list[TermPostings], n_docs: int, avg_dl: float,
-                k: int, k1: float = BM25_K1, b: float = BM25_B):
-    """Exact-phrase top-k, fully vectorized: conjunctive doc intersection,
-    packed-key phrase-start chaining, then BM25 with tf = phrase count and
-    df = number of phrase-matching docs."""
+_EMPTY3 = (
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+)
+
+
+def phrase_match_arrays(ordered_tps: list[TermPostings]):
+    """→ (docs, phrase_tfs, dls) over ALL docs containing the exact phrase
+    — the match primitive shared by single-index phrase_topk and sharded
+    phrase search (which needs the raw arrays to score under GLOBAL df:
+    docs.size is this index's phrase-df contribution)."""
     got = _intersect_decoded(ordered_tps)
     if got is None:
-        return []
+        return _EMPTY3
     decoded, idxs, common = got
     try:
         keys = _row_pos_keys(decoded, idxs, common.size)
         rows, tfs = _phrase_rows_vectorized(keys)
         if rows.size == 0:
-            return []
+            return _EMPTY3
         docs = common[rows]
         dls = decoded[0][2][idxs[0][rows]]
     except PositionOverflow:
@@ -331,10 +355,21 @@ def phrase_topk(ordered_tps: list[TermPostings], n_docs: int, avg_dl: float,
             if (c := _phrase_count([p for _, p in per_term]))
         ]
         if not hits:
-            return []
+            return _EMPTY3
         docs = np.array([h[0] for h in hits], dtype=np.int64)
         dls = np.array([h[1] for h in hits], dtype=np.int64)
         tfs = np.array([h[2] for h in hits], dtype=np.int64)
+    return docs, tfs, dls
+
+
+def phrase_topk(ordered_tps: list[TermPostings], n_docs: int, avg_dl: float,
+                k: int, k1: float = BM25_K1, b: float = BM25_B):
+    """Exact-phrase top-k, fully vectorized: conjunctive doc intersection,
+    packed-key phrase-start chaining, then BM25 with tf = phrase count and
+    df = number of phrase-matching docs."""
+    docs, tfs, dls = phrase_match_arrays(ordered_tps)
+    if docs.size == 0:
+        return []
     df = docs.size
     idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
     scores = idf * tfs / (tfs + k1 * (1.0 - b + b * dls / avg_dl))
@@ -342,15 +377,14 @@ def phrase_topk(ordered_tps: list[TermPostings], n_docs: int, avg_dl: float,
     return [(int(docs[i]), float(scores[i])) for i in top]
 
 
-def proximity_topk(tps: list[TermPostings], window: int, k: int):
-    """Proximity top-k with the Tesserae distance-weighted score.
-
-    Every arity runs fully vectorized (2-term: adjacent-pair scan; 3+:
-    per-term forward-fill cover-span sweep); the per-doc loop remains only
-    as the PositionOverflow fallback for pathological >2M-token docs."""
+def proximity_match_arrays(tps: list[TermPostings], window: int):
+    """→ (docs, scores) over ALL docs where every term co-occurs within
+    ``window`` tokens, scored with the Tesserae distance-weighted formula.
+    The score has NO corpus-stats dependence, so per-shard top-k merges
+    exactly (sharded.py) — this is the shared match primitive."""
     got = _intersect_decoded(tps)
     if got is None:
-        return []
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     decoded, idxs, common = got
     try:
         keys = _row_pos_keys(decoded, idxs, common.size)
@@ -364,23 +398,38 @@ def proximity_topk(tps: list[TermPostings], window: int, k: int):
         keep = spans <= window
         rows, spans = rows[keep], spans[keep]
         if rows.size == 0:
-            return []
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         inv_f = sum(
             1.0 / decoded[t][1][idxs[t][rows]] for t in range(len(tps))
         )
         scores = np.log(inv_f / np.maximum(spans, 1))
-        docs = common[rows]
-        top = np.lexsort((docs, -scores))[:k]
-        return [(int(docs[i]), float(scores[i])) for i in top]
+        return common[rows], scores
     scored = []
     for doc, _dl, per_term in _conjunctive_matches(tps):
         d = _min_cover_span([p for _, p in per_term])
         if d < 0 or d > window:
             continue
         inv_f = sum(1.0 / tf for tf, _ in per_term)
-        scored.append((math.log(inv_f / max(d, 1)), doc))
-    scored.sort(key=lambda t: (-t[0], t[1]))
-    return [(doc, s) for s, doc in scored[:k]]
+        scored.append((doc, math.log(inv_f / max(d, 1))))
+    if not scored:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    return (
+        np.array([d for d, _ in scored], dtype=np.int64),
+        np.array([s for _, s in scored], dtype=np.float64),
+    )
+
+
+def proximity_topk(tps: list[TermPostings], window: int, k: int):
+    """Proximity top-k with the Tesserae distance-weighted score.
+
+    Every arity runs fully vectorized (2-term: adjacent-pair scan; 3+:
+    per-term forward-fill cover-span sweep); the per-doc loop remains only
+    as the PositionOverflow fallback for pathological >2M-token docs."""
+    docs, scores = proximity_match_arrays(tps, window)
+    if docs.size == 0:
+        return []
+    top = np.lexsort((docs, -scores))[:k]
+    return [(int(docs[i]), float(scores[i])) for i in top]
 
 
 # ---------------------------------------------------------------------------
@@ -435,7 +484,15 @@ def search_batch(spark, index_dir: str, queries: list[dict], k: int = 10):
         for q in qs:
             terms.update(analyze_query(q["query_text"], searcher.lang))
         if terms:
-            searcher.reader.fetch(sorted(terms))  # one scan per slice
+            # one metadata scan + one payload scan per slice (union of the
+            # slice's terms); head terms past PREFETCH_MAX_DF stay lazy so
+            # WAND can skip their blocks without the I/O having happened
+            fetched = searcher.reader.fetch(sorted(terms))
+            need_pos = any(q.get("mode", "bm25") != "bm25" for q in qs)
+            searcher.reader.ensure_payloads(
+                fetched.values(), with_positions=need_pos,
+                max_df=PREFETCH_MAX_DF,
+            )
         for q in qs:
             for hit in searcher.search(
                 q["query_text"], k=q.get("k", k), mode=q.get("mode", "bm25"),

@@ -9,16 +9,30 @@ shape (public Solr semantics — the reference's deployment model):
     batch's query terms + per-shard stats.json → GLOBAL n_docs, avg_dl and
     per-term df (shards partition docs disjointly, so sums are exact).
   phase 2 (distributed): every (shard × query-slice) task scores its shard
-    with the GLOBAL stats (Searcher(global_stats=...)) so scores are
-    comparable across shards; per-shard top-k candidates flow back.
+    with the GLOBAL stats so scores are comparable across shards; per-shard
+    top-k candidates flow back. bm25 runs block-max WAND on stats-free
+    bounds (TermIterator recomputes per-block bounds from max_tf/min_dl
+    under the global stats).
   merge: per query, rank candidates by (score desc, doc_id asc) and keep
     k — rank-identical to a single index over the union of the shards
-    (pinned by tests/test_sharded.py).
+    (pinned by tests/test_sharded.py for bm25 AND phrase AND proximity).
+
+Positional modes (SURVEY.md §2.9) need one twist each:
+
+  phrase: BM25 with df = number of phrase-matching docs — a GLOBAL count no
+    shard knows alone. But idf(df) is one positive scalar per query, so
+    per-shard ranking by the tf-part tf/(tf + k1·(1−b + b·dl/avg_dl_global))
+    is already rank-identical to the final ranking. Each task therefore
+    emits its top-k candidates' tf-parts plus ONE df row (its shard's match
+    count); the merge sums match counts into the exact global phrase-df and
+    multiplies idf in — no second distributed pass.
+  proximity: the Tesserae distance-weighted score has no corpus-stats
+    dependence at all, so per-shard top-k merges directly.
 
 Scale shape: phase 1 touches dictionaries only (KB per shard); phase 2 is
 embarrassingly parallel (shards × slices tasks over immutable indexes);
-the merge moves ≤ shards × queries × k rows — a per-query-partitioned
-window, never a global sort.
+the merge moves ≤ shards × queries × (k+1) rows — a per-query-partitioned
+window + one tiny aggregate, never a global sort.
 """
 
 from __future__ import annotations
@@ -26,11 +40,22 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tesserae_ng_spark.functions.analysis import analyze_query
-from tesserae_ng_spark.query.search import MIN_QUERIES_PER_SLICE, get_searcher
+from tesserae_ng_spark.query.search import (
+    MIN_QUERIES_PER_SLICE,
+    get_searcher,
+    phrase_match_arrays,
+    proximity_match_arrays,
+)
+from tesserae_ng_spark.schemas import BM25_B, BM25_K1
+
+# candidate-row kinds in the phase-2 output
+_CAND = 0  # (query_id, _CAND, doc_id, score-or-tf-part)
+_DF = 1    # (query_id, _DF, shard_ordinal, phrase match count)
 
 
 def global_shard_stats(index_dirs: list[str], terms: list[str]) -> dict:
@@ -57,18 +82,52 @@ def global_shard_stats(index_dirs: list[str], terms: list[str]) -> dict:
     }
 
 
-def search_sharded(spark, index_dirs: list[str], queries: list[dict], k: int = 10):
-    """Distributed BM25 over sharded indexes → DataFrame(query_id, rank,
-    doc_id, score), rank-identical to a single union index."""
-    sc = spark.sparkContext
-    bad = [q for q in queries if q.get("mode", "bm25") != "bm25"]
-    if bad:
-        raise ValueError(
-            "search_sharded supports bm25 only: phrase df is computed from "
-            "matches (shard-local would skew idf) and stored block bounds "
-            f"are shard-local — got mode(s) {sorted({q['mode'] for q in bad})}; "
-            "run phrase/proximity via search_batch per shard group"
+def _shard_query_rows(searcher, q, gs: dict, k: int):
+    """Phase-2 scoring of ONE query on ONE shard → tagged candidate rows."""
+    mode = q.get("mode", "bm25")
+    if mode == "bm25":
+        for hit in searcher.search(q["query_text"], k=k, global_stats=gs):
+            yield (q["query_id"], _CAND, hit.doc_id, hit.score)
+        return
+    terms = analyze_query(q["query_text"], searcher.lang)
+    if not terms:
+        return
+    fetched = searcher.reader.fetch(terms)
+    if mode == "phrase":
+        if any(t not in fetched for t in terms):
+            return  # this shard's docs cannot contain the phrase
+        docs, tfs, dls = phrase_match_arrays([fetched[t] for t in terms])
+        if docs.size == 0:
+            return
+        # tf-part under GLOBAL avg_dl; idf(global phrase-df) multiplies in
+        # at the merge — same positive scalar per query, so this order is
+        # already the final order
+        part = tfs / (
+            tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / gs["avg_dl"])
         )
+        yield (q["query_id"], _DF, 0, float(docs.size))
+        for i in np.lexsort((docs, -part))[:k]:
+            yield (q["query_id"], _CAND, int(docs[i]), float(part[i]))
+    elif mode == "proximity":
+        uniq = sorted(set(terms))
+        if any(t not in fetched for t in uniq):
+            return
+        docs, scores = proximity_match_arrays(
+            [fetched[t] for t in uniq], q.get("window", 5)
+        )
+        if docs.size == 0:
+            return
+        for i in np.lexsort((docs, -scores))[:k]:
+            yield (q["query_id"], _CAND, int(docs[i]), float(scores[i]))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+
+def search_sharded(spark, index_dirs: list[str], queries: list[dict], k: int = 10):
+    """Distributed bm25/phrase/proximity over sharded indexes → DataFrame
+    (query_id, rank, doc_id, score), rank-identical to a single union
+    index."""
+    sc = spark.sparkContext
     all_terms: set[str] = set()
     for q in queries:
         all_terms.update(analyze_query(q["query_text"]))
@@ -93,20 +152,56 @@ def search_sharded(spark, index_dirs: list[str], queries: list[dict], k: int = 1
         for q in qs:
             terms.update(analyze_query(q["query_text"], searcher.lang))
         if terms:
-            searcher.reader.fetch(sorted(terms))  # one scan per task
+            # one metadata + one payload scan per task (lazy above the
+            # prefetch df cap — same shape as search_batch)
+            fetched = searcher.reader.fetch(sorted(terms))
+            need_pos = any(q.get("mode", "bm25") != "bm25" for q in qs)
+            from tesserae_ng_spark.query.search import PREFETCH_MAX_DF
+
+            searcher.reader.ensure_payloads(
+                fetched.values(), with_positions=need_pos,
+                max_df=PREFETCH_MAX_DF,
+            )
         for q in qs:
             # uniform k across the batch: the merge window cuts at the same
             # k every shard produced, so per-query result sets stay exact
-            for hit in searcher.search(q["query_text"], k=k, global_stats=gs):
-                yield (q["query_id"], hit.doc_id, hit.score)
+            yield from _shard_query_rows(searcher, q, gs, k)
 
     rdd = sc.parallelize(tasks, len(tasks)).flatMap(run_task)
-    cand = spark.createDataFrame(rdd, "query_id long, doc_id long, score double")
+    rows = spark.createDataFrame(
+        rdd, "query_id long, kind int, doc_id long, val double"
+    )
+    cand = rows.filter(F.col("kind") == _CAND).select("query_id", "doc_id", "val")
+
+    # phrase idf: exact global phrase-df = Σ per-shard match counts (shards
+    # partition docs disjointly). Non-phrase queries have no _DF rows; the
+    # left join leaves gdf null and the score passes through unchanged.
+    gdf = (
+        rows.filter(F.col("kind") == _DF)
+        .groupBy("query_id")
+        .agg(F.sum("val").alias("gdf"))
+    )
+    n_docs = float(stats["n_docs"])
+    scored = cand.join(F.broadcast(gdf), "query_id", "left").select(
+        "query_id",
+        "doc_id",
+        F.when(
+            F.col("gdf").isNotNull(),
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("gdf") + F.lit(0.5))
+                / (F.col("gdf") + F.lit(0.5))
+            )
+            * F.col("val"),
+        )
+        .otherwise(F.col("val"))
+        .alias("score"),
+    )
     w = W.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
     return (
-        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= F.lit(k))
         .select("query_id", "rank", "doc_id", "score")
     )

@@ -31,19 +31,47 @@ from tesserae_ng_spark.schemas import BM25_B, BM25_K1
 EPS = 1e-12
 
 
+class StatsFreeBoundsUnavailable(Exception):
+    """The index predates per-block (max_tf, min_dl) metadata — WAND under
+    overridden stats has no valid upper bounds; use an exhaustive scorer."""
+
+
 class TermIterator:
     """Cursor over one term's blocks (blocks arrive in global docID order:
-    salts are contiguous doc ranges, so (salt, block_id) order == doc order)."""
+    salts are contiguous doc ranges, so (salt, block_id) order == doc order).
+
+    ``df`` overrides the stored document frequency (sharded/distributed
+    search under GLOBAL stats — the Solr distributed-IDF analog). Stored
+    ``block_max_score`` was computed under the index's own merge-time
+    (n_docs, avg_dl, df) and is NOT a valid bound under any other stats, so
+    when ``stats_free`` is set, per-block bounds are recomputed from the
+    stored (max_tf, min_dl): BM25's tf-part f(tf, dl) = tf/(tf + k1·(1−b +
+    b·dl/avg_dl)) is monotone ↑ in tf and ↓ in dl, hence idf·f(max_tf,
+    min_dl) ≥ idf·f(tf_i, dl_i) for every posting i of the block — a true
+    (slightly looser) upper bound under the query's stats."""
 
     def __init__(self, postings, n_docs: int, avg_dl: float,
-                 k1: float = BM25_K1, b: float = BM25_B):
+                 k1: float = BM25_K1, b: float = BM25_B,
+                 df: int | None = None, stats_free: bool = False):
         self.term = postings.term
-        self.idf = math.log(1.0 + (n_docs - postings.df + 0.5) / (postings.df + 0.5))
-        self.max_score = postings.max_score
+        df_t = postings.df if df is None else df
+        self.idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
         self.blocks = postings.blocks
         self.avg_dl = avg_dl
         self.k1 = k1
         self.b = b
+        self._bounds = None
+        if stats_free and self.blocks:
+            if any(blk.max_tf is None for blk in self.blocks):
+                raise StatsFreeBoundsUnavailable(postings.term)
+            mt = np.array([blk.max_tf for blk in self.blocks], dtype=np.float64)
+            md = np.array([blk.min_dl for blk in self.blocks], dtype=np.float64)
+            self._bounds = self.idf * mt / (
+                mt + k1 * (1.0 - b + b * md / avg_dl)
+            )
+            self.max_score = float(self._bounds.max())
+        else:
+            self.max_score = postings.max_score
         self.exhausted = not self.blocks
         self.bi = 0
         self.pi = 0
@@ -83,6 +111,8 @@ class TermIterator:
         return float(self._scores[self.pi])
 
     def cur_block_max(self) -> float:
+        if self._bounds is not None:
+            return float(self._bounds[self.bi])
         return self.blocks[self.bi].max_score
 
     def cur_block_last(self) -> int:
@@ -131,14 +161,25 @@ def wand_topk(
     k: int,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    df_override: dict | None = None,
 ) -> list[tuple[int, float]]:
     """→ [(doc_id, score)] sorted by (score desc, doc_id asc), len ≤ k.
 
     Full scoring sums per-term partials in sorted-term order — a fixed
     order makes float sums deterministic across runs and parallelism.
+
+    ``df_override`` maps term → GLOBAL df (sharded search): iterators run
+    in stats-free mode, recomputing block bounds from (max_tf, min_dl)
+    under the given (n_docs, avg_dl, df) — raises StatsFreeBoundsUnavailable
+    on a pre-v2 index lacking that metadata.
     """
+    stats_free = df_override is not None
     its = [
-        TermIterator(tp, n_docs, avg_dl, k1, b)
+        TermIterator(
+            tp, n_docs, avg_dl, k1, b,
+            df=(df_override or {}).get(tp.term),
+            stats_free=stats_free,
+        )
         for tp in term_postings.values()
         if tp.blocks
     ]

@@ -70,6 +70,14 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("block_first_doc", T.LongType(), False),
         T.StructField("block_last_doc", T.LongType(), False),
         T.StructField("block_max_score", T.DoubleType(), False),
+        # stats-FREE bound ingredients: max tf and min dl over the block's
+        # postings. BM25's tf-part is monotone ↑ in tf and ↓ in dl, so
+        # idf(df)·f(max_tf, min_dl) is a true per-block upper bound under
+        # ANY (n_docs, avg_dl, df) — this is what lets block-max WAND skip
+        # under sharded/global IDF, where the stored block_max_score
+        # (computed under merge-time shard-local stats) is not a valid bound.
+        T.StructField("block_max_tf", T.IntegerType(), False),
+        T.StructField("block_min_dl", T.IntegerType(), False),
         T.StructField("doc_ids", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("dls", T.BinaryType(), False),

@@ -146,6 +146,61 @@ def test_phrase_and_proximity(spark, index_dir, corpus):
     assert got_prox == want_prox
 
 
+def test_lazy_payload_skipped_blocks_never_read(index_dir, monkeypatch):
+    """Cold fetch is metadata-only; a block that is never landed on must
+    never have its payload bytes read (VERDICT r2: eager whole-term fetch
+    made WAND skipping pointless at GB-scale postings). Segment readahead
+    is shrunk so the 28-block test term doesn't fit one window."""
+    from tesserae_ng_spark.query import reader as reader_mod
+    from tesserae_ng_spark.query.reader import _UNLOADED, IndexReader
+    from tesserae_ng_spark.query.wand import bm25_dense_topk, wand_topk
+
+    monkeypatch.setattr(reader_mod, "PAYLOAD_SEGMENT_BLOCKS", 4)
+    r = IndexReader(index_dir)
+    fetched = r.fetch(["the"])  # head term: every doc → many 16-doc blocks
+    tp = fetched["the"]
+    total = len(tp.blocks)
+    assert total > 8
+    assert r.payload_blocks_loaded == 0, "fetch() must not read payloads"
+
+    tp.blocks[0].decode()  # land on the first block only
+    assert 0 < r.payload_blocks_loaded <= 4, "readahead window exceeded"
+    assert all(
+        blk._doc_ids is _UNLOADED for blk in tp.blocks[4:]
+    ), "blocks beyond the landed segment were materialized"
+
+    # WAND through the lazy reader == dense through an eager reader
+    fetched = r.fetch(["the", "window"])
+    got = wand_topk(fetched, r.n_docs, r.avg_dl, 3)
+    r2 = IndexReader(index_dir)
+    f2 = r2.fetch(["the", "window"])
+    r2.ensure_payloads(f2.values())
+    assert f2["the"].blocks[0]._doc_ids is not _UNLOADED
+    assert got == bm25_dense_topk(f2, r2.n_docs, r2.avg_dl, 3)
+
+
+def test_dictionary_pushdown_fallback_matches_pinned(index_dir):
+    """The >1M-term dictionary path (no in-memory pin; per-query pushdown
+    filter-scan) must return identical lookups and search results."""
+    from tesserae_ng_spark.query.reader import IndexReader
+
+    pinned = IndexReader(index_dir)
+    fallback = IndexReader(index_dir, dict_pin_max_terms=0)
+    assert fallback._dict_cache is None and pinned._dict_cache is not None
+    terms = ["the", "window", "join", "totallyabsentterm"]
+    assert fallback.lookup(terms) == pinned.lookup(terms)
+
+    s = Searcher.__new__(Searcher)
+    s.reader = fallback
+    s.lang = "en"
+    sp = Searcher(index_dir)
+    got = s.search("sort merge join", k=5)
+    want = sp.search("sort merge join", k=5)
+    assert [(h.doc_id, h.score) for h in got] == [
+        (h.doc_id, h.score) for h in want
+    ]
+
+
 def test_resume_skips_done_partitions(spark, corpus, tmp_path):
     out = str(tmp_path / "idx")
     # first attempt dies after partition 0

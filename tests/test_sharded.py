@@ -69,6 +69,54 @@ def test_sharded_rank_identical_to_union(spark, indexes):
         ], q["query_text"]
 
 
+def test_sharded_phrase_proximity_rank_identical(spark, indexes):
+    shard_dirs, union_dir = indexes
+    union = Searcher(union_dir)
+    queries = [
+        dict(query_id=0, query_text="hash join", mode="phrase", k=10),
+        dict(query_id=1, query_text="sort merge", mode="phrase", k=10),
+        dict(query_id=2, query_text="hash join", mode="proximity", k=10, window=5),
+        dict(query_id=3, query_text="sort merge join", mode="proximity", k=10, window=8),
+        dict(query_id=4, query_text="join zzmissing", mode="phrase", k=10),
+    ]
+    got = search_sharded(spark, shard_dirs, queries, k=10).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in queries:
+        want = union.search(
+            q["query_text"], k=10, mode=q["mode"], window=q.get("window", 5)
+        )
+        rows = sorted(by_q.get(q["query_id"], []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in rows] == [h.doc_id for h in want], q
+        for r, h in zip(rows, want):
+            # idf is JVM log for sharded phrase vs libm for single-index —
+            # identical ordering, scores equal to float-rounding
+            assert abs(r["score"] - h.score) < 1e-9, q
+
+
+def test_sharded_wand_stats_free_matches_exhaustive(indexes):
+    # the WAND engine itself under GLOBAL stats on real on-disk shard
+    # postings: bounds recomputed from stored (max_tf, min_dl) must yield
+    # the same top-k as the exhaustive scorer under the same stats (tiny
+    # test indexes never cross DENSE_POSTINGS_CUTOFF, so pin it directly)
+    from tesserae_ng_spark.query.search import get_searcher
+    from tesserae_ng_spark.query.wand import bm25_dense_topk, wand_topk
+
+    shard_dirs, _ = indexes
+    terms = ["join", "hash", "scan"]
+    gs = global_shard_stats(shard_dirs, terms)
+    for d in shard_dirs:
+        fetched = get_searcher(d).reader.fetch(terms)
+        got = wand_topk(
+            fetched, gs["n_docs"], gs["avg_dl"], 10, df_override=gs["df"]
+        )
+        want = bm25_dense_topk(
+            fetched, gs["n_docs"], gs["avg_dl"], 10, df_override=gs["df"]
+        )
+        assert got == want and len(got) == 10
+
+
 def test_sharded_absent_term_empty(spark, indexes):
     shard_dirs, _ = indexes
     out = search_sharded(

@@ -84,6 +84,56 @@ def test_wand_tie_break_doc_id_asc():
     assert [d for d, _ in got] == [3, 7]
 
 
+@given(
+    corpus=corpus_strategy,
+    qsize=st.integers(min_value=1, max_value=4),
+    k=st.sampled_from([1, 3, 10]),
+    block_size=st.sampled_from([2, 4, 128]),
+    seed=st.integers(min_value=0, max_value=10_000),
+    extra_docs=st.integers(min_value=0, max_value=10_000),
+    extra_df=st.integers(min_value=0, max_value=500),
+    dl_scale=st.floats(min_value=0.3, max_value=3.0),
+)
+@settings(max_examples=300, deadline=None)
+def test_wand_stats_free_bounds_equal_exhaustive(
+    corpus, qsize, k, block_size, seed, extra_docs, extra_df, dl_scale
+):
+    # sharded-search shape: this index is ONE SHARD of a larger corpus, so
+    # the query runs under GLOBAL (n_docs, avg_dl, df) that differ from the
+    # stats the block_max_score bounds were built under. WAND must recompute
+    # bounds from (max_tf, min_dl) and still be exhaustive-equivalent.
+    rng = np.random.RandomState(seed)
+    vocab = [f"t{i}" for i in range(8)]
+    query = [vocab[i] for i in rng.choice(8, size=qsize, replace=False)]
+    dls = {d: sum(tfs.values()) for d, tfs in corpus.items()}
+    tps, n_docs, avg_dl = make_index(corpus, dls, block_size)
+    fetched = {t: tps[t] for t in set(query) if t in tps}
+
+    g_n = n_docs + extra_docs
+    g_avg = avg_dl * dl_scale
+    dfo = {t: tp.df + min(extra_df, extra_docs) for t, tp in fetched.items()}
+    want = bm25_dense_topk(fetched, g_n, g_avg, k, df_override=dfo)
+    got = wand_topk(fetched, g_n, g_avg, k, df_override=dfo)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-9), (gd, gs, ws)
+
+
+def test_wand_stats_free_raises_without_metadata():
+    from tesserae_ng_spark.query.wand import StatsFreeBoundsUnavailable
+
+    corpus = {d: {"a": 1 + d % 3} for d in range(20)}
+    dls = {d: sum(t.values()) for d, t in corpus.items()}
+    tps, n, avg = make_index(corpus, dls, 4)
+    for blk in tps["a"].blocks:  # simulate a pre-v2 index
+        blk.max_tf = None
+        blk.min_dl = None
+    import pytest
+
+    with pytest.raises(StatsFreeBoundsUnavailable):
+        wand_topk(tps, n + 5, avg, 5, df_override={"a": tps["a"].df})
+
+
 def test_global_topk_stats_cache_evicts_lru_only():
     # 5 alternating stats keys on a 4-entry cache: eviction must drop the
     # single least-recently-used entry, not wipe the cache (a node serving
