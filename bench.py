@@ -12,6 +12,7 @@ Pieces:
   bm25_oracle      exhaustive DataFrame BM25 (oracle path)
   dedup_minhash    MinHash+LSH near-dup sweep over documents
   ann_topk         brute-force cosine top-k over embeddings
+  lang_id          vectorized n-gram language ID over documents
 
 Extras: docs_per_sec, queries_per_sec, p50_ms, p99_ms — the BASELINE.md
 metrics. Scaling protocol (N vs 4N) lives in tools/bench_scaling.py.
@@ -113,6 +114,23 @@ def main():
     warm_batch_s = time.time() - t0
     out_json["queries_per_sec_warm"] = round(len(queries) / warm_batch_s, 2)
 
+    # production-shaped batch (VERDICT r2 #1): thousands of queries over
+    # the full enriched dictionary — enough slices (≥16 queries each) to
+    # occupy every core, so the scaling protocol measures the real fan-out
+    # instead of a 4-slice toy batch. Seeded separately from the 60-query
+    # reference set.
+    large_n = int(os.environ.get("SPARK_GRAFT_LARGE_BATCH", "2000"))
+    queries_large = make_queries(vocab, n=large_n, seed=777)
+    t0 = time.time()
+    out_json["batch_hits_large"] = search_batch(
+        spark, idx_dir, queries_large, k=10
+    ).count()
+    timings["query_batch_large"] = time.time() - t0
+    out_json["queries_per_sec_large"] = round(
+        large_n / timings["query_batch_large"], 2
+    )
+    out_json["large_batch_n"] = large_n
+
     searcher = Searcher(idx_dir)
     lat = []
     t0 = time.time()
@@ -141,6 +159,7 @@ def main():
         ("bm25_exhaustive", "bm25_oracle"),
         ("dedup_minhash_lsh", "dedup_minhash"),
         ("ann_bruteforce_topk", "ann_topk"),
+        ("lang_id", "lang_id"),
     ]:
         fn, _ = registry[key]
         t0 = time.time()

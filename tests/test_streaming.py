@@ -66,6 +66,34 @@ def test_crawl_rate_windowed_agg_matches_batch(spark, corpus, tmp_path):
     assert want.exceptAll(got).count() == 0
 
 
+def test_first_seen_timestamp_semantics(spark, tmp_path):
+    """first_ts VALUE pin (ADVICE r2): the emitted timestamp is the min
+    warc_ts within the first micro-batch containing the url — asserted on
+    a crafted batch with shuffled timestamps, not just row counts."""
+    import datetime as dt
+
+    from tesserae_ng_spark.schemas import CORPUS_SCHEMA
+    from tesserae_ng_spark.streaming.monitor import first_seen_stream
+
+    ts = [dt.datetime(2024, 1, d, tzinfo=dt.timezone.utc) for d in (7, 2, 5)]
+    rows = [
+        ("http://a.example/x", ts[0], b"<html>a</html>", None, "en"),
+        ("http://a.example/x", ts[1], b"<html>a2</html>", None, "en"),
+        ("http://a.example/x", ts[2], b"<html>a3</html>", None, "en"),
+        ("http://b.example/y", ts[2], b"<html>b</html>", None, "en"),
+    ]
+    src = str(tmp_path / "in3")
+    spark.createDataFrame(rows, CORPUS_SCHEMA).coalesce(1).write.parquet(src)
+    out = str(tmp_path / "firsts3")
+    q = first_seen_stream(
+        spark, src, out, str(tmp_path / "ckpt3"), max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    got = {r["url"]: r["first_ts"] for r in spark.read.parquet(out).collect()}
+    assert got["http://a.example/x"].replace(tzinfo=dt.timezone.utc) == ts[1]
+    assert got["http://b.example/y"].replace(tzinfo=dt.timezone.utc) == ts[2]
+
+
 def test_first_seen_stateful_dedupe(spark, corpus, tmp_path):
     """applyInPandasWithState: one row per url, first appearance wins,
     state survives across micro-batches."""

@@ -94,6 +94,8 @@ def main():
 
     build = eff("docs_per_sec")
     qbatch = eff("queries_per_sec")
+    qlarge = eff("queries_per_sec_large")
+    nlarge = levels[2].get("large_batch_n", 2000)
     lines = [
         "# BENCH — measured baseline (two-parallelism scaling protocol)",
         "",
@@ -104,13 +106,29 @@ def main():
         "| metric | local[2] (N) | local[8] (4N) | scaling efficiency |",
         "|---|---|---|---|",
         f"| index build (docs/sec) | {build[0]} | {build[1]} | **{build[2]:.3f}** |",
-        f"| batch query throughput (q/s) | {qbatch[0]} | {qbatch[1]} | {qbatch[2]:.3f} |",
+        f"| large-batch query throughput, {nlarge} q (q/s) | {qlarge[0]} | {qlarge[1]} | **{qlarge[2]:.3f}** |",
+        f"| reference-batch query throughput, 60 q (q/s) | {qbatch[0]} | {qbatch[1]} | {qbatch[2]:.3f} |",
         f"| single-query p50 (ms) | {levels[2]['p50_ms']} | {levels[8]['p50_ms']} | — (latency, driver-side) |",
         f"| single-query p99 (ms) | {levels[2]['p99_ms']} | {levels[8]['p99_ms']} | — |",
         f"| single-thread qps | {levels[2]['single_qps']} | {levels[8]['single_qps']} | — |",
         "",
-        f"Pass criterion: build-throughput efficiency ≥ 0.8 → "
-        f"{'**PASS**' if build[2] >= 0.8 else '**FAIL**'} ({build[2]:.3f}).",
+        f"Pass criteria: build-throughput efficiency ≥ 0.8 → "
+        f"{'**PASS**' if build[2] >= 0.8 else '**FAIL**'} ({build[2]:.3f}); "
+        f"production-batch query efficiency ≥ 0.8 → "
+        f"{'**PASS**' if qlarge[2] >= 0.8 else '**FAIL**'} ({qlarge[2]:.3f}).",
+        "",
+        "## Batch-size dependence of query scaling (why two batch rows)",
+        "",
+        "A 60-query batch slices into ceil(60/16) = 4 tasks (16+ queries per",
+        "slice amortize each worker's cold postings cache), so local[8] uses",
+        "half its cores BY DESIGN at that batch size — its efficiency row",
+        "measures small-batch latency amortization, not pipeline scaling.",
+        f"The {nlarge}-query row is the production shape (every core gets",
+        "multiple slices) and is the row the ≥0.8 criterion applies to.",
+        "Warm 60-query re-runs can even ANTI-scale (more workers = the 4",
+        "re-run slices are more likely to land on python workers whose",
+        "caches the first run never warmed) — an artifact of tiny batches on",
+        "many workers, absent at production batch sizes.",
         "",
         "Raw bench lines:",
         "```json",
