@@ -56,21 +56,33 @@ def varint_encode(values: np.ndarray) -> bytes:
 
 
 def varint_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:
-    """LEB128 bytes → uint64 array."""
+    """LEB128 bytes → uint64 array.
+
+    Masked per-byte-position passes (mirror of the encoder): pass b ORs
+    byte b of every value still that long. Temporaries shrink geometrically
+    with b (posting gaps/tfs are mostly 1–2 bytes), vs the old
+    arange+repeat+reduceat shape that materialized five full-stream-sized
+    int64 arrays — ~4× less memory traffic, which on this VM's
+    slow-large-allocation profile is the decode hot path itself."""
     arr = np.frombuffer(buf, dtype=np.uint8)
     if arr.size == 0:
         return np.empty(0, dtype=np.uint64)
-    is_end = (arr & 0x80) == 0
-    ends = np.nonzero(is_end)[0]
+    low = arr & np.uint8(0x7F)
+    ends = np.nonzero(arr == low)[0]  # continuation bit clear = value end
+    if ends.size == arr.size:  # all single-byte (dominant for tfs/gaps)
+        return low.astype(np.uint64)
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
     lens = ends - starts + 1
-    within = np.arange(arr.size, dtype=np.int64) - np.repeat(starts, lens)
-    payload = (arr & np.uint8(0x7F)).astype(np.uint64) << (
-        np.uint64(7) * within.astype(np.uint64)
-    )
-    return np.add.reduceat(payload, starts)
+    out = low[starts].astype(np.uint64)  # byte 0 of every value
+    b = 1
+    maxlen = int(lens.max())
+    while b < maxlen:
+        m = lens > b
+        out[m] |= low[starts[m] + b].astype(np.uint64) << np.uint64(7 * b)
+        b += 1
+    return out
 
 
 def delta_encode_ids(doc_ids: np.ndarray) -> bytes:
@@ -91,6 +103,21 @@ def delta_decode_ids(buf: bytes) -> np.ndarray:
     return from_u64(np.cumsum(d, dtype=np.uint64))
 
 
+def expand_segment_values(vals: np.ndarray, starts: np.ndarray, n: int) -> np.ndarray:
+    """Per-segment constant expansion — equivalent to
+    ``np.repeat(vals, segment_lengths)`` for segments beginning at
+    ``starts`` (strictly increasing, starts[0] == 0) over total length
+    ``n`` — via a delta scatter + cumsum. np.repeat materializes index
+    machinery several× slower than one cumsum pass on large arrays (this
+    VM's memory profile makes that the decode hot path)."""
+    out = np.zeros(n, dtype=vals.dtype)
+    if n == 0 or vals.size == 0:
+        return out
+    out[0] = vals[0]
+    out[starts[1:]] = vals[1:] - vals[:-1]
+    return np.cumsum(out)
+
+
 def concat_decode_varints(bufs: list[bytes]) -> np.ndarray:
     """Decode many varint buffers in ONE pass (join + single decode).
     Varint streams are self-delimiting, so concatenation is lossless."""
@@ -108,7 +135,8 @@ def concat_decode_ids(bufs: list[bytes], counts: np.ndarray) -> np.ndarray:
     glob = np.cumsum(d, dtype=np.uint64)
     starts = np.cumsum(counts) - counts
     seg_base = glob[starts] - d[starts]
-    base = np.repeat(seg_base, counts)
+    # uint64 wrap-around in the delta scatter is fine: cumsum is exact mod 2^64
+    base = expand_segment_values(seg_base, starts, d.size)
     return from_u64(glob - base)
 
 
@@ -262,13 +290,12 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     tfs = np.asarray(tfs, dtype=np.int64)
     if len(buf) == 0:
         return [np.empty(0, dtype=np.int32) for _ in range(tfs.size)]
-    d = varint_decode(buf).astype(np.int64)
+    d = varint_decode(buf).view(np.int64)  # positions < 2^63: view is free
     starts = np.cumsum(tfs) - tfs
     # undo per-doc delta: cumsum within segments = global cumsum minus the
     # carried-over base at each segment start
     glob = np.cumsum(d)
-    base = np.zeros(d.size, dtype=np.int64)
     seg_base = glob[starts] - d[starts]  # cumulative sum before each segment
-    base = np.repeat(seg_base, tfs)
+    base = expand_segment_values(seg_base, starts, d.size)
     vals = (glob - base).astype(np.int32)
     return [vals[s : s + t] for s, t in zip(starts, tfs)]

@@ -107,6 +107,7 @@ class Block:
     min_dl: int | None = None
     salt: int = 0
     _owner: object = None  # TermPostings backref for lazy payload load
+    _pos_flat: tuple | None = None  # decode_positions_flat cache
 
     def decode(self):
         if self._decoded is None:
@@ -116,8 +117,8 @@ class Block:
                 # lands here — skipped blocks never cost I/O (VERDICT r2 #4)
                 self._owner.ensure_payloads([self], segment=True)
             ids = delta_decode_ids(self._doc_ids)
-            tfs = varint_decode(self._tfs).astype(np.int64)
-            dls = varint_decode(self._dls).astype(np.int64)
+            tfs = varint_decode(self._tfs).view(np.int64)  # < 2^63: free
+            dls = varint_decode(self._dls).view(np.int64)
             self._decoded = (ids, tfs, dls)
         return self._decoded
 
@@ -128,6 +129,28 @@ class Block:
         if self._positions is None:
             return None
         return decode_positions(self._positions, tfs)
+
+    def decode_positions_flat(self):
+        """→ (pos_flat int32, per-posting offsets) for this block, cached —
+        no per-doc array objects (candidate_positions slices runs out of
+        the flat array directly)."""
+        if self._pos_flat is not None:
+            return self._pos_flat
+        _, tfs, _ = self.decode()
+        if self._positions is _UNLOADED:
+            self._owner.ensure_payloads([self], with_positions=True, segment=True)
+        if self._positions is None:
+            return None
+        from tesserae_ng_spark.index.codec import expand_segment_values
+
+        d = varint_decode(self._positions).view(np.int64)
+        glob = np.cumsum(d)
+        starts = np.cumsum(tfs) - tfs
+        seg_base = glob[starts] - d[starts]
+        base = expand_segment_values(seg_base, starts, d.size)
+        flat = (glob - base).astype(np.int32)
+        self._pos_flat = (flat, starts)
+        return self._pos_flat
 
 
 @dataclass
@@ -161,6 +184,76 @@ class TermPostings:
             )
         self._loader(self, need, with_positions, segment)
 
+    def candidate_positions(self, cand_ids):
+        """Positions for a SORTED subset of this term's doc ids, decoding
+        position payloads ONLY from the blocks containing candidates →
+        (tfs, dls, pos_flat, pos_offs) aligned with ``cand_ids``.
+
+        The phrase/proximity win at scale: a head-term ∧ tail-term
+        conjunction has ~df(tail) candidates, so the head term's positions
+        (the bulk of its bytes) load and decode for a handful of blocks
+        instead of all of them (decode_full(with_positions=True) was 42% of
+        a mixed 2000-query batch)."""
+        import numpy as _np
+
+        blocks = self.blocks
+        lasts = getattr(self, "_lasts", None)
+        if lasts is None:
+            lasts = self._lasts = _np.array(
+                [blk.last_doc for blk in blocks], dtype=_np.int64
+            )
+        cand_ids = _np.asarray(cand_ids, dtype=_np.int64)
+        bi = _np.searchsorted(lasts, cand_ids)  # block of each candidate
+        needed = _np.unique(bi)
+
+        if needed.size * 4 > len(blocks):
+            # candidates span most blocks (head∧head conjunction): the
+            # per-block path's fixed costs lose to one bulk concat decode
+            ids, tfs, dls, pos_flat, pos_offs = self.decode_full(
+                with_positions=True
+            )
+            from tesserae_ng_spark.index.codec import expand_segment_values
+
+            sel = _np.searchsorted(ids, cand_ids)
+            tfs_out = tfs[sel]
+            dls_out = dls[sel]
+            out_offs = _np.cumsum(tfs_out) - tfs_out
+            total = int(tfs_out.sum())
+            gather = expand_segment_values(
+                pos_offs[sel] - out_offs, out_offs, total
+            ) + _np.arange(total, dtype=_np.int64)
+            return tfs_out, dls_out, pos_flat[gather], out_offs
+
+        self.ensure_payloads(
+            [blocks[i] for i in needed], with_positions=True, segment=False
+        )
+        tfs_out = _np.empty(cand_ids.size, dtype=_np.int64)
+        dls_out = _np.empty(cand_ids.size, dtype=_np.int64)
+        parts: list = []
+        for i in needed:
+            blk = blocks[i]
+            ids, tfs, dls = blk.decode()
+            flat_offs = blk.decode_positions_flat()
+            if flat_offs is None:
+                raise RuntimeError("index built without positions")
+            flat, offs = flat_offs
+            # bi is sorted (cand_ids sorted, blocks in doc order): this
+            # block's candidates are one contiguous slice
+            lo = int(_np.searchsorted(bi, i, "left"))
+            hi = int(_np.searchsorted(bi, i, "right"))
+            local = _np.searchsorted(ids, cand_ids[lo:hi])
+            tfs_out[lo:hi] = tfs[local]
+            dls_out[lo:hi] = dls[local]
+            for li in local:
+                parts.append(flat[offs[li] : offs[li] + tfs[li]])
+        pos_flat = (
+            _np.concatenate(parts)
+            if parts
+            else _np.empty(0, dtype=_np.int32)
+        )
+        pos_offs = _np.cumsum(tfs_out) - tfs_out
+        return tfs_out, dls_out, pos_flat, pos_offs
+
     def decode_full(self, with_positions: bool = False) -> tuple:
         """Decode ALL blocks in one concatenated pass → (ids, tfs, dls,
         pos_flat, pos_offsets). Positions come back FLAT (absolute values)
@@ -181,21 +274,24 @@ class TermPostings:
         self.ensure_payloads(with_positions=need_pos)
         counts = _np.array([b.n_docs for b in self.blocks], dtype=_np.int64)
         ids = concat_decode_ids([b._doc_ids for b in self.blocks], counts)
-        tfs = concat_decode_varints([b._tfs for b in self.blocks]).astype(_np.int64)
-        dls = concat_decode_varints([b._dls for b in self.blocks]).astype(_np.int64)
+        tfs = concat_decode_varints([b._tfs for b in self.blocks]).view(_np.int64)
+        dls = concat_decode_varints([b._dls for b in self.blocks]).view(_np.int64)
         pos_flat = None
         pos_offs = None
         if need_pos:
             if any(b._positions is None for b in self.blocks):
                 raise RuntimeError("index built without positions")
+            from tesserae_ng_spark.index.codec import expand_segment_values
+
             d = concat_decode_varints(
                 [b._positions for b in self.blocks]
-            ).astype(_np.int64)
+            ).view(_np.int64)
             # undo per-doc delta: global cumsum minus per-segment base
             offs = _np.cumsum(tfs) - tfs
             glob = _np.cumsum(d)
             seg_base = glob[offs] - d[offs]
-            pos_flat = (glob - _np.repeat(seg_base, tfs)).astype(_np.int32)
+            base = expand_segment_values(seg_base, offs, d.size)
+            pos_flat = (glob - base).astype(_np.int32)
             pos_offs = offs
         self._full = (ids, tfs, dls, pos_flat, pos_offs)
         return self._full

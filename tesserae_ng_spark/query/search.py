@@ -109,9 +109,15 @@ class Searcher:
                     top = None  # old index + overridden stats → exhaustive
             if top is None:
                 # exhaustive scorers decode every block — bulk-load all
-                # payloads in one scan instead of one scan per term
+                # payloads in one scan instead of one scan per term.
+                # Selective (tail) queries score over the posting UNION
+                # (dense path): the global accumulator's O(n_docs) zero +
+                # nonzero sweep per query dwarfs a few thousand postings.
                 self.reader.ensure_payloads(fetched.values())
-                if self.reader.n_docs <= GLOBAL_ACC_MAX_DOCS:
+                if (
+                    self.reader.n_docs <= GLOBAL_ACC_MAX_DOCS
+                    and total_postings * 8 > self.reader.n_docs
+                ):
                     top = bm25_global_topk(
                         fetched, self.reader.global_doc_ids(),
                         n_docs, avg_dl, k, df_override=dfo,
@@ -124,14 +130,16 @@ class Searcher:
             ordered = [fetched[t] for t in terms if t in fetched]
             if len(ordered) < len(terms):
                 return []  # a phrase term missing from the corpus → no match
-            self.reader.ensure_payloads(ordered, with_positions=True)
+            # ids/tfs/dls only — positions load candidate-only inside
+            # phrase_match_arrays (_candidate_decoded)
+            self.reader.ensure_payloads(ordered)
             top = phrase_topk(ordered, self.reader.n_docs, self.reader.avg_dl, k)
         elif mode == "proximity":
             uniq = sorted(set(terms))
             if any(t not in fetched for t in uniq):
                 return []
             tps = [fetched[t] for t in uniq]
-            self.reader.ensure_payloads(tps, with_positions=True)
+            self.reader.ensure_payloads(tps)  # positions load candidate-only
             top = proximity_topk(tps, window, k)
         else:
             raise ValueError(f"unknown mode {mode!r}")
@@ -180,18 +188,21 @@ def _row_pos_keys(decoded, idxs, n_common):
     flat array with one vectorized fancy-index — no per-doc objects.
     Raises PositionOverflow when any position won't fit the key budget
     (otherwise position bits would silently corrupt row bits)."""
+    from tesserae_ng_spark.index.codec import expand_segment_values
+
     keys = []
     for t, (ids, tfs, dls, pos_flat, pos_offs) in enumerate(decoded):
         sel = idxs[t]
         counts = tfs[sel]
         total = int(counts.sum())
-        rows = np.repeat(np.arange(len(sel), dtype=np.int64), counts)
-        # flat gather: start offset of each selected posting + within-run arange
         run_starts = np.cumsum(counts) - counts
-        gather = (
-            np.repeat(pos_offs[sel], counts)
-            + (np.arange(total, dtype=np.int64) - np.repeat(run_starts, counts))
+        rows = expand_segment_values(
+            np.arange(len(sel), dtype=np.int64), run_starts, total
         )
+        # flat gather: start offset of each selected posting + within-run arange
+        gather = expand_segment_values(
+            pos_offs[sel] - run_starts, run_starts, total
+        ) + np.arange(total, dtype=np.int64)
         pos_sel = pos_flat[gather].astype(np.int64)
         if pos_sel.size and int(pos_sel.max()) >= int(_ROW_SHIFT):
             raise PositionOverflow(
@@ -201,13 +212,24 @@ def _row_pos_keys(decoded, idxs, n_common):
     return keys
 
 
+def _isin_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Membership mask of ``a`` in ``b``, both sorted ascending — one
+    searchsorted instead of np.isin's internal sort+unique (packed position
+    keys are constructed sorted, so the sort np.isin pays is pure waste)."""
+    idx = np.searchsorted(b, a)
+    ok = idx < b.size
+    out = np.zeros(a.size, dtype=bool)
+    out[ok] = b[idx[ok]] == a[ok]
+    return out
+
+
 def _phrase_rows_vectorized(keys: list[np.ndarray]):
     """→ (rows, phrase_tf) of common-rows containing the exact phrase.
-    Chained np.isin over packed keys: start positions where term_i sits at
-    pos+i for every i. Fully vectorized across all docs at once."""
+    Chained sorted-membership over packed keys: start positions where
+    term_i sits at pos+i for every i. Fully vectorized across all docs."""
     cur = keys[0]
     for i in range(1, len(keys)):
-        cur = cur[np.isin(cur + i, keys[i])]
+        cur = cur[_isin_sorted(cur + i, keys[i])]
         if cur.size == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     rows = cur // _ROW_SHIFT
@@ -220,12 +242,17 @@ def _min_span_2term_vectorized(k1: np.ndarray, k2: np.ndarray):
     The minimal cross-set distance is realized by an adjacent pair in the
     merged sorted order (classic two-pointer argument), so one argsort +
     one adjacent scan covers every doc simultaneously."""
-    allk = np.concatenate([k1, k2])
-    flag = np.concatenate(
-        [np.zeros(k1.size, dtype=np.int8), np.ones(k2.size, dtype=np.int8)]
-    )
-    order = np.argsort(allk, kind="stable")
-    ks, fs = allk[order], flag[order]
+    # k1 and k2 arrive sorted: merge via two searchsorted passes instead of
+    # a stable argsort over the concatenation (~3× less work at this size)
+    n1, n2 = k1.size, k2.size
+    idx1 = np.arange(n1, dtype=np.int64) + np.searchsorted(k2, k1, side="left")
+    idx2 = np.arange(n2, dtype=np.int64) + np.searchsorted(k1, k2, side="right")
+    ks = np.empty(n1 + n2, dtype=np.int64)
+    fs = np.empty(n1 + n2, dtype=np.int8)
+    ks[idx1] = k1
+    ks[idx2] = k2
+    fs[idx1] = 0
+    fs[idx2] = 1
     same_row = (ks[1:] // _ROW_SHIFT) == (ks[:-1] // _ROW_SHIFT)
     diff_term = fs[1:] != fs[:-1]
     adj = same_row & diff_term
@@ -313,7 +340,9 @@ def _min_cover_span(pos_lists: list[np.ndarray]) -> int:
 
 
 def _intersect_decoded(tps: list[TermPostings]):
-    """→ (decoded, idxs, common) or None when the conjunction is empty."""
+    """→ (decoded, idxs, common) or None when the conjunction is empty.
+    FULL decode of every term's positions — only the PositionOverflow
+    fallback uses this; the main path is _candidate_decoded."""
     decoded = [tp.decode_full(with_positions=True) for tp in tps]
     common = decoded[0][0]
     for ids, *_ in decoded[1:]:
@@ -321,6 +350,27 @@ def _intersect_decoded(tps: list[TermPostings]):
         if common.size == 0:
             return None
     idxs = [np.searchsorted(d[0], common) for d in decoded]
+    return decoded, idxs, common
+
+
+def _candidate_decoded(tps: list[TermPostings]):
+    """→ (decoded, idxs, common) like _intersect_decoded, but positions are
+    gathered for the CANDIDATE docs only: intersect on doc ids first
+    (ids/tfs/dls payloads — cheap), then decode position payloads from just
+    the blocks holding candidates (TermPostings.candidate_positions). A
+    head∧tail conjunction touches ~df(tail) docs, so the head term's
+    position bytes — the bulk of its postings — never load or decode."""
+    ids_lists = [tp.decode_full()[0] for tp in tps]
+    common = ids_lists[0]
+    for ids in ids_lists[1:]:
+        common = np.intersect1d(common, ids, assume_unique=True)
+        if common.size == 0:
+            return None
+    decoded = []
+    for tp in tps:
+        tfs, dls, pos_flat, pos_offs = tp.candidate_positions(common)
+        decoded.append((common, tfs, dls, pos_flat, pos_offs))
+    idxs = [np.arange(common.size, dtype=np.int64)] * len(tps)
     return decoded, idxs, common
 
 
@@ -336,7 +386,7 @@ def phrase_match_arrays(ordered_tps: list[TermPostings]):
     — the match primitive shared by single-index phrase_topk and sharded
     phrase search (which needs the raw arrays to score under GLOBAL df:
     docs.size is this index's phrase-df contribution)."""
-    got = _intersect_decoded(ordered_tps)
+    got = _candidate_decoded(ordered_tps)
     if got is None:
         return _EMPTY3
     decoded, idxs, common = got
@@ -382,7 +432,7 @@ def proximity_match_arrays(tps: list[TermPostings], window: int):
     ``window`` tokens, scored with the Tesserae distance-weighted formula.
     The score has NO corpus-stats dependence, so per-shard top-k merges
     exactly (sharded.py) — this is the shared match primitive."""
-    got = _intersect_decoded(tps)
+    got = _candidate_decoded(tps)
     if got is None:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     decoded, idxs, common = got
@@ -486,12 +536,12 @@ def search_batch(spark, index_dir: str, queries: list[dict], k: int = 10):
         if terms:
             # one metadata scan + one payload scan per slice (union of the
             # slice's terms); head terms past PREFETCH_MAX_DF stay lazy so
-            # WAND can skip their blocks without the I/O having happened
+            # WAND can skip their blocks without the I/O having happened.
+            # Positions are never prefetched — positional queries load them
+            # candidate-only (TermPostings.candidate_positions).
             fetched = searcher.reader.fetch(sorted(terms))
-            need_pos = any(q.get("mode", "bm25") != "bm25" for q in qs)
             searcher.reader.ensure_payloads(
-                fetched.values(), with_positions=need_pos,
-                max_df=PREFETCH_MAX_DF,
+                fetched.values(), max_df=PREFETCH_MAX_DF
             )
         for q in qs:
             for hit in searcher.search(

@@ -153,14 +153,13 @@ def search_sharded(spark, index_dirs: list[str], queries: list[dict], k: int = 1
             terms.update(analyze_query(q["query_text"], searcher.lang))
         if terms:
             # one metadata + one payload scan per task (lazy above the
-            # prefetch df cap — same shape as search_batch)
+            # prefetch df cap; positions load candidate-only — same shape
+            # as search_batch)
             fetched = searcher.reader.fetch(sorted(terms))
-            need_pos = any(q.get("mode", "bm25") != "bm25" for q in qs)
             from tesserae_ng_spark.query.search import PREFETCH_MAX_DF
 
             searcher.reader.ensure_payloads(
-                fetched.values(), with_positions=need_pos,
-                max_df=PREFETCH_MAX_DF,
+                fetched.values(), max_df=PREFETCH_MAX_DF
             )
         for q in qs:
             # uniform k across the batch: the merge window cuts at the same
