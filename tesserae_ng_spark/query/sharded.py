@@ -82,9 +82,13 @@ def global_shard_stats(index_dirs: list[str], terms: list[str]) -> dict:
     }
 
 
-def _shard_query_rows(searcher, q, gs: dict, k: int):
-    """Phase-2 scoring of ONE query on ONE shard → tagged candidate rows."""
+def _shard_query_rows(searcher, q, gs: dict, default_k: int):
+    """Phase-2 scoring of ONE query on ONE shard → tagged candidate rows.
+    Per-query ``k`` is honored (same contract as search_batch): each shard
+    emits its own top-k_q, and the merge window cuts at the same k_q —
+    any global top-k_q doc is in its shard's top-k_q, so the cut is exact."""
     mode = q.get("mode", "bm25")
+    k = q.get("k", default_k)
     if mode == "bm25":
         for hit in searcher.search(q["query_text"], k=k, global_stats=gs):
             yield (q["query_id"], _CAND, hit.doc_id, hit.score)
@@ -162,8 +166,6 @@ def search_sharded(spark, index_dirs: list[str], queries: list[dict], k: int = 1
                 fetched.values(), max_df=PREFETCH_MAX_DF
             )
         for q in qs:
-            # uniform k across the batch: the merge window cuts at the same
-            # k every shard produced, so per-query result sets stay exact
             yield from _shard_query_rows(searcher, q, gs, k)
 
     rdd = sc.parallelize(tasks, len(tasks)).flatMap(run_task)
@@ -196,11 +198,18 @@ def search_sharded(spark, index_dirs: list[str], queries: list[dict], k: int = 1
         .otherwise(F.col("val"))
         .alias("score"),
     )
+    # per-query k (default k): the merge window cuts each query at ITS k —
+    # the same k each shard's emission was cut at, so the result is exact
+    kdf = spark.createDataFrame(
+        [(q["query_id"], int(q.get("k", k))) for q in queries],
+        "query_id long, q_k int",
+    )
     w = W.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= F.lit(k))
+        .join(F.broadcast(kdf), "query_id")
+        .filter(F.col("rank") <= F.col("q_k"))
         .select("query_id", "rank", "doc_id", "score")
     )
