@@ -198,3 +198,40 @@ def test_position_overflow_falls_back_to_per_doc():
     assert got_phrase == {1, 2}
     got_prox = {d for d, _ in proximity_topk([tps["a"], tps["b"]], 5, k=10)}
     assert got_prox == {1, 2}
+
+
+def test_candidate_positions_sparse_and_bulk_match_full_decode():
+    """candidate_positions must return exactly the same (tfs, dls,
+    positions) as slicing the full decode, on BOTH its paths: the sparse
+    per-block gather (few candidates, few blocks touched) and the hybrid
+    bulk path (candidates spanning most blocks)."""
+    rng = np.random.RandomState(7)
+    n_docs = 400
+    postings = []
+    for d in range(n_docs):
+        tf = int(rng.randint(1, 5))
+        pos = np.sort(rng.choice(500, size=tf, replace=False))
+        postings.append((d * 13 - 1000, tf, int(rng.randint(tf, 600)), pos))
+    tp = build_term_postings("t", postings, n_docs, 80.0, block_size=8)
+    ids_all, tfs_all, dls_all, pos_flat_all, pos_offs_all = tp.decode_full(
+        with_positions=True
+    )
+
+    def check(cand_idx):
+        cand = ids_all[cand_idx]
+        # fresh TermPostings so path choice isn't masked by decode caches
+        tp2 = build_term_postings("t", postings, n_docs, 80.0, block_size=8)
+        tfs, dls, pos_flat, pos_offs = tp2.candidate_positions(cand)
+        assert np.array_equal(tfs, tfs_all[cand_idx])
+        assert np.array_equal(dls, dls_all[cand_idx])
+        for k, i in enumerate(cand_idx):
+            want = pos_flat_all[
+                pos_offs_all[i] : pos_offs_all[i] + tfs_all[i]
+            ]
+            got = pos_flat[pos_offs[k] : pos_offs[k] + tfs[k]]
+            assert np.array_equal(got, want), (k, i)
+
+    # sparse: 3 scattered candidates over 50 blocks → per-block path
+    check(np.array([1, 200, 399]))
+    # bulk: most docs are candidates → hybrid decode_full path
+    check(np.arange(0, n_docs, 2))
