@@ -113,6 +113,13 @@ def expand_segment_values(vals: np.ndarray, starts: np.ndarray, n: int) -> np.nd
     out = np.zeros(n, dtype=vals.dtype)
     if n == 0 or vals.size == 0:
         return out
+    # precondition (stripped under ``python -O``): zero-length segments
+    # (duplicate starts) would collapse the delta scatter below to
+    # last-write-wins and silently shift every later segment — fail loudly
+    # instead (ADVICE r3). One vectorized pass over the segment-count array.
+    assert starts[0] == 0 and bool(
+        (np.diff(starts) > 0).all()
+    ), "expand_segment_values: starts must be strictly increasing from 0"
     out[0] = vals[0]
     out[starts[1:]] = vals[1:] - vals[:-1]
     return np.cumsum(out)

@@ -29,27 +29,45 @@ import os
 
 _done = False
 
+_TRUTHY = ("1", "true", "yes", "on")
+
+
+def env_opt_in() -> bool:
+    """TNG_MALLOC_TUNE parsed explicitly: only 1/true/yes/on enable tuning
+    — TNG_MALLOC_TUNE=0 (or any other value) disables it, rather than a
+    bare truthiness check where every non-empty string enabled (ADVICE r3).
+    TNG_NO_MALLOC_TUNE stays the hard override."""
+    return os.environ.get("TNG_MALLOC_TUNE", "").strip().lower() in _TRUTHY
+
 
 def tune_allocator(warm_mb: int = 8, force: bool = False) -> bool:
     """Pin the malloc mmap threshold and pre-fault ``warm_mb`` of heap.
 
-    Applies only when ``force`` (engine entry points) or TNG_MALLOC_TUNE=1
-    (Spark python workers, exported by get_spark). Idempotent per process;
-    returns True if tuning was applied.
+    Applies only when ``force`` (engine entry points) or TNG_MALLOC_TUNE is
+    explicitly truthy (Spark python workers, exported by get_spark).
+    Idempotent per process; returns True if tuning was applied.
     """
     global _done
     if _done or os.environ.get("TNG_NO_MALLOC_TUNE"):
         return False
-    if not force and not os.environ.get("TNG_MALLOC_TUNE"):
+    if not force and not env_opt_in():
         return False
     _done = True
     try:
         import ctypes
 
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD = -1
         M_MMAP_THRESHOLD = -3
         if libc.mallopt(M_MMAP_THRESHOLD, 1 << 30) != 1:
             return False
+        # calling mallopt at all disables glibc's dynamic threshold
+        # adjustment, freezing M_TRIM_THRESHOLD at its 128 KiB default —
+        # every free of a top-of-heap block then shrinks brk and the next
+        # large alloc page-faults from scratch (measured ~1 s per repeated
+        # 64 MiB arena on this VM). Pin trim high so the heap stays
+        # faulted at its high-water mark.
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
     except Exception:
         return False
     try:
@@ -67,13 +85,18 @@ def tune_allocator(warm_mb: int = 8, force: bool = False) -> bool:
     return True
 
 
+_prefaulted_mb = 0
+
+
 def prefault(mb: int) -> None:
     """Grow + touch the heap to ≥ ``mb`` MiB so subsequent transient numpy
-    arrays reuse already-faulted pages. Cheap when the heap is already hot;
-    latency-sensitive entry points (IndexReader) call this with a larger
-    arena than the import-time default."""
-    if os.environ.get("TNG_NO_MALLOC_TUNE"):
+    arrays reuse already-faulted pages. Tracks the per-process high-water
+    mark: a second IndexReader in the same process (sharded phase 1 opens
+    one per shard) skips the ~1 s arena touch instead of repeating it."""
+    global _prefaulted_mb
+    if os.environ.get("TNG_NO_MALLOC_TUNE") or mb <= _prefaulted_mb:
         return
+    _prefaulted_mb = mb
     try:
         import numpy as np
 

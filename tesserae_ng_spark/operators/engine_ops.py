@@ -45,12 +45,19 @@ def ensure_es_index(spark, sf_dir: str) -> str:
     out = f"/tmp/tesserae_idx_{LANG}_{os.path.basename(os.path.normpath(sf_dir))}"
     if os.path.exists(f"{out}/stats.json"):
         # format gate: a cached index from before the stats-free-bounds
-        # columns (block_max_tf/min_dl) must rebuild, not half-work
+        # columns (block_max_tf/min_dl) must rebuild, not half-work. Any
+        # probe failure (half-deleted cache: stats.json present, postings
+        # missing/unreadable) is stale cache → rebuild, not a crash.
         import pyarrow.dataset as _ds
 
-        names = _ds.dataset(f"{out}/postings", partitioning="hive").schema.names
-        if "block_max_tf" in names:
-            return out
+        try:
+            names = _ds.dataset(
+                f"{out}/postings", partitioning="hive"
+            ).schema.names
+            if "block_max_tf" in names:
+                return out
+        except Exception:
+            pass
         import shutil
 
         shutil.rmtree(out, ignore_errors=True)

@@ -30,7 +30,9 @@ import numpy as np
 from tesserae_ng_spark.functions.analysis import analyze_query
 from tesserae_ng_spark.query.reader import IndexReader, TermPostings
 from tesserae_ng_spark.query.wand import (
+    BATCH_ACC_MAX_CELLS,
     StatsFreeBoundsUnavailable,
+    bm25_batch_global_topk,
     bm25_dense_topk,
     bm25_global_topk,
     wand_topk,
@@ -500,6 +502,58 @@ def get_searcher(index_dir: str) -> "Searcher":
     return s
 
 
+# the term-at-a-time batch scorer needs enough queries to amortize its
+# per-term passes, and a chunk tall enough that the 2D scatter beats
+# per-query accumulators; below either bound the per-query scorers (which
+# can also WAND-skip on huge indexes) stay the better plan
+BATCH_MIN_QUERIES = 4
+BATCH_MIN_CHUNK = 8
+
+
+def batch_bm25_hits(
+    searcher: "Searcher",
+    qs: list[dict],
+    default_k: int,
+    global_stats: dict | None = None,
+) -> list[list[Hit]] | None:
+    """Term-at-a-time batch scoring of a slice's bm25 queries (VERDICT r3
+    #1) → per-query Hit lists aligned with ``qs``, bit-identical to
+    per-query ``searcher.search``. Returns None when the shape doesn't fit
+    the batch plan (few queries, or an index too large for a dense
+    accumulator chunk) — callers fall back to the per-query path."""
+    nd = searcher.reader.n_docs
+    if (
+        len(qs) < BATCH_MIN_QUERIES
+        or nd > GLOBAL_ACC_MAX_DOCS
+        or BATCH_ACC_MAX_CELLS // max(nd, 1) < BATCH_MIN_CHUNK
+    ):
+        return None
+    if global_stats is not None:
+        n_docs = global_stats["n_docs"]
+        avg_dl = global_stats["avg_dl"]
+        dfo = global_stats.get("df") or {}
+    else:
+        n_docs = searcher.reader.n_docs
+        avg_dl = searcher.reader.avg_dl
+        dfo = None
+    qterms = [analyze_query(q["query_text"], searcher.lang) for q in qs]
+    all_terms = sorted({t for ts in qterms for t in ts})
+    fetched = searcher.reader.fetch(all_terms) if all_terms else {}
+    if fetched:
+        # exhaustive batch decodes every used block anyway → one bulk
+        # payload scan, no df cap (ids/tfs/dls only — never positions)
+        searcher.reader.ensure_payloads(fetched.values())
+    ks = [int(q.get("k", default_k)) for q in qs]
+    topks = bm25_batch_global_topk(
+        fetched, qterms, ks, searcher.reader.global_doc_ids(),
+        n_docs, avg_dl, df_override=dfo,
+    )
+    return [
+        [Hit(rank=i + 1, doc_id=d, score=s) for i, (d, s) in enumerate(top)]
+        for top in topks
+    ]
+
+
 # minimum queries per slice in batch mode: below this, extra workers cost
 # more in cold caches + pyarrow scans than they buy in parallelism (each
 # Python worker keeps its own postings LRU; a 60-query batch on 32 workers
@@ -530,20 +584,36 @@ def search_batch(spark, index_dir: str, queries: list[dict], k: int = 10):
     def run_part(qs):
         qs = list(qs)
         searcher = get_searcher(index_dir)
-        terms: set[str] = set()
-        for q in qs:
-            terms.update(analyze_query(q["query_text"], searcher.lang))
-        if terms:
-            # one metadata scan + one payload scan per slice (union of the
-            # slice's terms); head terms past PREFETCH_MAX_DF stay lazy so
-            # WAND can skip their blocks without the I/O having happened.
-            # Positions are never prefetched — positional queries load them
-            # candidate-only (TermPostings.candidate_positions).
-            fetched = searcher.reader.fetch(sorted(terms))
-            searcher.reader.ensure_payloads(
-                fetched.values(), max_df=PREFETCH_MAX_DF
-            )
-        for q in qs:
+        bm25_qs = [q for q in qs if q.get("mode", "bm25") == "bm25"]
+        other_qs = [q for q in qs if q.get("mode", "bm25") != "bm25"]
+        done = set()
+        if bm25_qs:
+            # term-at-a-time batch scoring: one decode + one score array
+            # per term for the whole slice, 2D scatter per term (wand.py
+            # bm25_batch_global_topk) — bit-identical to per-query search
+            hits_per_q = batch_bm25_hits(searcher, bm25_qs, k)
+            if hits_per_q is not None:
+                for q, hits in zip(bm25_qs, hits_per_q):
+                    done.add(id(q))
+                    for hit in hits:
+                        yield (q["query_id"], hit.rank, hit.doc_id, hit.score)
+        rest = other_qs + [q for q in bm25_qs if id(q) not in done]
+        if rest:
+            terms: set[str] = set()
+            for q in rest:
+                terms.update(analyze_query(q["query_text"], searcher.lang))
+            if terms:
+                # one metadata scan + one payload scan for the rest (union
+                # of their terms); head terms past PREFETCH_MAX_DF stay
+                # lazy so WAND can skip their blocks without the I/O having
+                # happened. Positions are never prefetched — positional
+                # queries load them candidate-only
+                # (TermPostings.candidate_positions).
+                fetched = searcher.reader.fetch(sorted(terms))
+                searcher.reader.ensure_payloads(
+                    fetched.values(), max_df=PREFETCH_MAX_DF
+                )
+        for q in rest:
             for hit in searcher.search(
                 q["query_text"], k=q.get("k", k), mode=q.get("mode", "bm25"),
                 window=q.get("window", 5),

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from tesserae_ng_spark.functions.analysis import analyze_query
 from tesserae_ng_spark.query.search import (
     MIN_QUERIES_PER_SLICE,
+    batch_bm25_hits,
     get_searcher,
     phrase_match_arrays,
     proximity_match_arrays,
@@ -152,20 +153,37 @@ def search_sharded(spark, index_dirs: list[str], queries: list[dict], k: int = 1
         index_dir, qs = task
         searcher = get_searcher(index_dir)
         gs = stats_bc.value
-        terms: set[str] = set()
-        for q in qs:
-            terms.update(analyze_query(q["query_text"], searcher.lang))
-        if terms:
-            # one metadata + one payload scan per task (lazy above the
-            # prefetch df cap; positions load candidate-only — same shape
-            # as search_batch)
-            fetched = searcher.reader.fetch(sorted(terms))
-            from tesserae_ng_spark.query.search import PREFETCH_MAX_DF
+        bm25_qs = [q for q in qs if q.get("mode", "bm25") == "bm25"]
+        other_qs = [q for q in qs if q.get("mode", "bm25") != "bm25"]
+        done = set()
+        if bm25_qs:
+            # term-at-a-time batch scoring under the GLOBAL stats
+            # (VERDICT r3 #1): each term of the slice decodes + scores
+            # ONCE per task, then one 2D scatter adds it to every query
+            # containing it — replacing the per-(query × shard)
+            # searcher.search dispatch that stalled sharded efficiency
+            hits_per_q = batch_bm25_hits(searcher, bm25_qs, k, global_stats=gs)
+            if hits_per_q is not None:
+                for q, hits in zip(bm25_qs, hits_per_q):
+                    done.add(id(q))
+                    for h in hits:
+                        yield (q["query_id"], _CAND, h.doc_id, h.score)
+        rest = other_qs + [q for q in bm25_qs if id(q) not in done]
+        if rest:
+            terms: set[str] = set()
+            for q in rest:
+                terms.update(analyze_query(q["query_text"], searcher.lang))
+            if terms:
+                # one metadata + one payload scan for the rest (lazy above
+                # the prefetch df cap; positions load candidate-only —
+                # same shape as search_batch)
+                fetched = searcher.reader.fetch(sorted(terms))
+                from tesserae_ng_spark.query.search import PREFETCH_MAX_DF
 
-            searcher.reader.ensure_payloads(
-                fetched.values(), max_df=PREFETCH_MAX_DF
-            )
-        for q in qs:
+                searcher.reader.ensure_payloads(
+                    fetched.values(), max_df=PREFETCH_MAX_DF
+                )
+        for q in rest:
             yield from _shard_query_rows(searcher, q, gs, k)
 
     rdd = sc.parallelize(tasks, len(tasks)).flatMap(run_task)

@@ -21,6 +21,9 @@ def get_spark(
 
     os.environ.setdefault("TNG_MALLOC_TUNE", "1")
     tune_allocator(force=True)
+    # propagate the RESOLVED value: a user-set TNG_MALLOC_TUNE=0 reaches
+    # executors as 0 (disabled) instead of being overwritten with 1
+    tune_env = os.environ["TNG_MALLOC_TUNE"]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     b = (
@@ -37,7 +40,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.executorEnv.TNG_MALLOC_TUNE", "1")
+        .config("spark.executorEnv.TNG_MALLOC_TUNE", tune_env)
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -179,6 +179,41 @@ def test_lazy_payload_skipped_blocks_never_read(index_dir, monkeypatch):
     assert got == bm25_dense_topk(f2, r2.n_docs, r2.avg_dl, 3)
 
 
+def test_payload_scan_selection_is_tight(index_dir, monkeypatch):
+    """_load_payloads must scan EXACTLY the requested blocks: per-salt
+    block-range predicates, not the old salt.isin × block_id.isin cross
+    product that pulled same-numbered blocks from every listed salt
+    (ADVICE r3). Pinned via the payload_rows_scanned counter on a head
+    term spanning multiple salts."""
+    from tesserae_ng_spark.query import reader as reader_mod
+    from tesserae_ng_spark.query.reader import IndexReader
+
+    monkeypatch.setattr(reader_mod, "PAYLOAD_SEGMENT_BLOCKS", 4)
+    r = IndexReader(index_dir)
+    tp = r.fetch(["the"])["the"]
+    salts = {blk.salt for blk in tp.blocks}
+    assert len(salts) > 1, "fixture must span multiple salts"
+    # demand one block from EACH salt in a single non-segment load: the
+    # old cross product would scan |salts| × |distinct block ids| rows
+    first_per_salt = {}
+    for blk in tp.blocks:
+        first_per_salt.setdefault(blk.salt, blk)
+    want = list(first_per_salt.values())
+    before = r.payload_rows_scanned
+    tp.ensure_payloads(want)
+    assert r.payload_rows_scanned - before == len(want)
+    # segment readahead: the scan returns exactly the windowed blocks
+    tail = [blk for blk in tp.blocks if blk._doc_ids is reader_mod._UNLOADED]
+    assert tail, "some blocks must remain unloaded"
+    before = r.payload_rows_scanned
+    tp.ensure_payloads([tail[0]], segment=True)
+    loaded_now = [
+        blk for blk in tail if blk._doc_ids is not reader_mod._UNLOADED
+    ]
+    assert r.payload_rows_scanned - before == len(loaded_now)
+    assert 0 < len(loaded_now) <= 4
+
+
 def test_dictionary_pushdown_fallback_matches_pinned(index_dir):
     """The >1M-term dictionary path (no in-memory pin; per-query pushdown
     filter-scan) must return identical lookups and search results."""
