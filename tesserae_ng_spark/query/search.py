@@ -510,6 +510,26 @@ BATCH_MIN_QUERIES = 4
 BATCH_MIN_CHUNK = 8
 
 
+def _use_batch_scorer() -> bool:
+    """Opt-in switch for the term-at-a-time batch scorer in the batch /
+    sharded executors. Default OFF — measured on the production query mix
+    (enriched Zipf vocabulary, 2000 queries vs a 60k-doc shard, 8
+    concurrent worker processes): per-query ADAPTIVE dispatch (tail
+    queries → small dense-union scorer, head queries → global
+    accumulator) runs the task in 3.3 s where the always-dense batch
+    scorer takes 22 s, because the batch path pays O(n_docs) accumulator
+    traffic for every query while ~90% of real queries touch only a few
+    thousand postings — and memory traffic is exactly what contended
+    workers fight over. The batch scorer wins only on head-term-heavy
+    workloads whose rows are dense anyway (it measured ~15% faster there);
+    results are bit-identical either way (hypothesis-pinned)."""
+    import os
+
+    return os.environ.get("TNG_BATCH_SCORER", "").strip().lower() in (
+        "1", "true", "yes", "on",
+    )
+
+
 def batch_bm25_hits(
     searcher: "Searcher",
     qs: list[dict],
@@ -587,10 +607,9 @@ def search_batch(spark, index_dir: str, queries: list[dict], k: int = 10):
         bm25_qs = [q for q in qs if q.get("mode", "bm25") == "bm25"]
         other_qs = [q for q in qs if q.get("mode", "bm25") != "bm25"]
         done = set()
-        if bm25_qs:
-            # term-at-a-time batch scoring: one decode + one score array
-            # per term for the whole slice, 2D scatter per term (wand.py
-            # bm25_batch_global_topk) — bit-identical to per-query search
+        if bm25_qs and _use_batch_scorer():
+            # opt-in term-at-a-time batch scoring (see _use_batch_scorer
+            # for why per-query adaptive dispatch is the default)
             hits_per_q = batch_bm25_hits(searcher, bm25_qs, k)
             if hits_per_q is not None:
                 for q, hits in zip(bm25_qs, hits_per_q):

@@ -235,3 +235,46 @@ def test_candidate_positions_sparse_and_bulk_match_full_decode():
     check(np.array([1, 200, 399]))
     # bulk: most docs are candidates → hybrid decode_full path
     check(np.arange(0, n_docs, 2))
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=1, max_value=120),
+    block_size=st.sampled_from([1, 2, 8, 64]),
+    density=st.floats(min_value=0.0, max_value=1.0),
+    clustered=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_candidate_positions_density_sweep(
+    seed, n_docs, block_size, density, clustered
+):
+    """Hypothesis sweep over candidate densities and layouts (VERDICT r3
+    #8): the >25%-of-blocks bulk-path threshold must be invisible —
+    identical output either side of it, including empty candidate sets,
+    single-block terms, all-candidates, and clustered candidates that
+    concentrate in few blocks while spanning many docs."""
+    rng = np.random.RandomState(seed)
+    postings = []
+    for d in range(n_docs):
+        tf = int(rng.randint(1, 4))
+        pos = np.sort(rng.choice(50, size=tf, replace=False))
+        postings.append((d * 7 - 50, tf, int(rng.randint(tf, 80)), pos))
+    tp = build_term_postings("t", postings, n_docs, 40.0, block_size=block_size)
+    ids_all, tfs_all, dls_all, pos_flat_all, pos_offs_all = tp.decode_full(
+        with_positions=True
+    )
+    n_cand = int(round(density * n_docs))
+    if clustered and n_cand:
+        lo = int(rng.randint(0, n_docs - n_cand + 1))
+        cand_idx = np.arange(lo, lo + n_cand)
+    else:
+        cand_idx = np.sort(rng.choice(n_docs, size=n_cand, replace=False))
+    tp2 = build_term_postings("t", postings, n_docs, 40.0, block_size=block_size)
+    tfs, dls, pos_flat, pos_offs = tp2.candidate_positions(ids_all[cand_idx])
+    assert np.array_equal(tfs, tfs_all[cand_idx])
+    assert np.array_equal(dls, dls_all[cand_idx])
+    assert tfs.size == 0 or pos_offs[0] == 0
+    for k, i in enumerate(cand_idx):
+        want = pos_flat_all[pos_offs_all[i] : pos_offs_all[i] + tfs_all[i]]
+        got = pos_flat[pos_offs[k] : pos_offs[k] + tfs[k]]
+        assert np.array_equal(got, want), (k, i)
