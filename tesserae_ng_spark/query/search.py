@@ -175,7 +175,11 @@ def _conjunctive_matches(tps: list[TermPostings]):
         yield int(doc), dl, per_term
 
 
-_ROW_SHIFT = np.int64(1) << np.int64(21)  # positions < 2^21 (dl < 2M tokens)
+_ROW_BITS = np.int64(21)
+_ROW_SHIFT = np.int64(1) << _ROW_BITS  # positions < 2^21 (dl < 2M tokens)
+# keys are nonnegative (row ≥ 0, pos ≥ 0), so `key >> _ROW_BITS` ==
+# `key // _ROW_SHIFT` — and the shift is several× cheaper than 64-bit
+# integer division on the hot positional paths
 
 
 class PositionOverflow(Exception):
@@ -225,6 +229,14 @@ def _isin_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return out
 
 
+def _sorted_group_starts(rows: np.ndarray) -> np.ndarray:
+    """Start indices of each run of equal values in a SORTED array — the
+    np.unique replacement for pre-sorted input (np.unique re-sorts, which
+    is among the costliest numpy ops on this VM's memory system)."""
+    starts = np.nonzero(np.diff(rows))[0] + 1
+    return np.concatenate((np.zeros(1, dtype=np.int64), starts))
+
+
 def _phrase_rows_vectorized(keys: list[np.ndarray]):
     """→ (rows, phrase_tf) of common-rows containing the exact phrase.
     Chained sorted-membership over packed keys: start positions where
@@ -234,9 +246,10 @@ def _phrase_rows_vectorized(keys: list[np.ndarray]):
         cur = cur[_isin_sorted(cur + i, keys[i])]
         if cur.size == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    rows = cur // _ROW_SHIFT
-    uniq, tf = np.unique(rows, return_counts=True)
-    return uniq, tf
+    rows = cur >> _ROW_BITS  # sorted (cur is sorted)
+    starts = _sorted_group_starts(rows)
+    tf = np.diff(np.concatenate((starts, [rows.size])))
+    return rows[starts], tf
 
 
 def _min_span_2term_vectorized(k1: np.ndarray, k2: np.ndarray):
@@ -255,19 +268,18 @@ def _min_span_2term_vectorized(k1: np.ndarray, k2: np.ndarray):
     ks[idx2] = k2
     fs[idx1] = 0
     fs[idx2] = 1
-    same_row = (ks[1:] // _ROW_SHIFT) == (ks[:-1] // _ROW_SHIFT)
+    rows_all = ks >> _ROW_BITS
+    same_row = rows_all[1:] == rows_all[:-1]
     diff_term = fs[1:] != fs[:-1]
     adj = same_row & diff_term
     if not adj.any():
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     spans = (ks[1:] - ks[:-1])[adj]
-    rows = (ks[1:] // _ROW_SHIFT)[adj]
-    # min span per row: lexsort then first occurrence of each row
-    o = np.lexsort((spans, rows))
-    rows_s, spans_s = rows[o], spans[o]
-    first = np.ones(rows_s.size, dtype=bool)
-    first[1:] = rows_s[1:] != rows_s[:-1]
-    return rows_s[first], spans_s[first]
+    rows = rows_all[1:][adj]
+    # rows is sorted (ks ascending) → min span per row via one reduceat
+    # over run boundaries instead of a two-key lexsort
+    starts = _sorted_group_starts(rows)
+    return rows[starts], np.minimum.reduceat(spans, starts)
 
 
 def _min_cover_span_vectorized(keys: list[np.ndarray]):
@@ -291,17 +303,14 @@ def _min_cover_span_vectorized(keys: list[np.ndarray]):
     for t in range(T):
         kt = np.where(ts == t, ks, np.int64(-1))
         np.minimum(mins, np.maximum.accumulate(kt), out=mins)
-    rows_i = ks // _ROW_SHIFT
-    valid = (mins >= 0) & (mins // _ROW_SHIFT == rows_i)
+    rows_i = ks >> _ROW_BITS
+    valid = (mins >= 0) & (mins >> _ROW_BITS == rows_i)
     if not valid.any():
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     spans = ks[valid] - mins[valid]  # same row ⇒ pure position difference
-    rows = rows_i[valid]
-    o = np.lexsort((spans, rows))
-    rows_s, spans_s = rows[o], spans[o]
-    first = np.ones(rows_s.size, dtype=bool)
-    first[1:] = rows_s[1:] != rows_s[:-1]
-    return rows_s[first], spans_s[first]
+    rows = rows_i[valid]  # sorted (ks ascending, mask keeps order)
+    starts = _sorted_group_starts(rows)
+    return rows[starts], np.minimum.reduceat(spans, starts)
 
 
 def _phrase_count(pos_lists: list[np.ndarray]) -> int:
@@ -348,7 +357,9 @@ def _intersect_decoded(tps: list[TermPostings]):
     decoded = [tp.decode_full(with_positions=True) for tp in tps]
     common = decoded[0][0]
     for ids, *_ in decoded[1:]:
-        common = np.intersect1d(common, ids, assume_unique=True)
+        # both sides sorted → membership mask beats np.intersect1d, which
+        # re-sorts the concatenation even under assume_unique
+        common = common[_isin_sorted(common, ids)]
         if common.size == 0:
             return None
     idxs = [np.searchsorted(d[0], common) for d in decoded]
@@ -365,7 +376,7 @@ def _candidate_decoded(tps: list[TermPostings]):
     ids_lists = [tp.decode_full()[0] for tp in tps]
     common = ids_lists[0]
     for ids in ids_lists[1:]:
-        common = np.intersect1d(common, ids, assume_unique=True)
+        common = common[_isin_sorted(common, ids)]
         if common.size == 0:
             return None
     decoded = []
