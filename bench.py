@@ -151,21 +151,30 @@ def main():
     # tied the layout to the level, confounding per-shard fixed costs
     # with the core-count ratio
     n_shards = int(os.environ.get("SPARK_GRAFT_NSHARDS", "8"))
-    shard_dirs = []
+    shard_dirs = [f"{idx_dir}_shard{i}" for i in range(n_shards)]
     t0 = time.time()
-    for i in range(n_shards):
-        sd = f"{idx_dir}_shard{i}"
-        if not (keep_shards and os.path.exists(f"{sd}/stats.json")):
-            shutil.rmtree(sd, ignore_errors=True)
-            build_index(
-                spark,
-                corpus.filter(F.pmod(F.xxhash64("url"), F.lit(n_shards)) == i),
-                sd,
-                n_parts=1,
-                target_postings_per_salt=1 << 14,
-                n_buckets=4,
-            )
-        shard_dirs.append(sd)
+
+    def build_shard(i: int) -> None:
+        sd = shard_dirs[i]
+        if keep_shards and os.path.exists(f"{sd}/stats.json"):
+            return
+        shutil.rmtree(sd, ignore_errors=True)
+        build_index(
+            spark,
+            corpus.filter(F.pmod(F.xxhash64("url"), F.lit(n_shards)) == i),
+            sd,
+            n_parts=1,
+            target_postings_per_salt=1 << 14,
+            n_buckets=4,
+        )
+
+    # shard builds are independent Spark jobs over disjoint doc sets: run
+    # them concurrently (Spark's scheduler interleaves jobs from multiple
+    # driver threads) — sequential builds left most cores idle per job
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, n_shards)) as ex:
+        list(ex.map(build_shard, range(n_shards)))
     timings["build_shards"] = time.time() - t0
     corpus.unpersist()
     # the sharded rows are the GRADED production query shape: serve them
