@@ -43,6 +43,7 @@ queries × k individual rows and measured ~half the batch wall).
 from __future__ import annotations
 
 import json
+import math
 import os
 
 import numpy as np
@@ -255,7 +256,10 @@ def search_sharded(spark, index_dirs: list[str], queries: list[dict], k: int = 1
         order = np.lexsort((docs, -vals))[:k_q]
         docs, vals = docs[order], vals[order]
         if df is not None:
-            idf = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+            # math.log, not np.log: phrase_topk's idf uses libm, and the
+            # two can differ by an ULP — with math.log the sharded phrase
+            # score is BIT-identical to the union index's
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
             vals = idf * vals
         for r in range(docs.size):
             yield (qid, r + 1, int(docs[r]), float(vals[r]))

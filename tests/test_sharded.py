@@ -90,8 +90,10 @@ def test_sharded_phrase_proximity_rank_identical(spark, indexes):
         rows = sorted(by_q.get(q["query_id"], []), key=lambda r: r["rank"])
         assert [r["doc_id"] for r in rows] == [h.doc_id for h in want], q
         for r, h in zip(rows, want):
-            # idf is JVM log for sharded phrase vs libm for single-index —
-            # identical ordering, scores equal to float-rounding
+            # sharded phrase computes idf·(tf/den) while the union index
+            # computes (idf·tf)/den — same idf (libm log both sides since
+            # round 4), same value up to one float-rounding step; ordering
+            # is identical because idf is a positive per-query scalar
             assert abs(r["score"] - h.score) < 1e-9, q
 
 
