@@ -96,11 +96,13 @@ def prefault(mb: int) -> None:
     global _prefaulted_mb
     if os.environ.get("TNG_NO_MALLOC_TUNE") or mb <= _prefaulted_mb:
         return
-    _prefaulted_mb = mb
     try:
         import numpy as np
 
         warm = np.ones((mb << 20) // 8, dtype=np.uint64)
         del warm
     except Exception:
-        pass
+        return  # nothing faulted — leave the mark so a retry can succeed
+    # record the high-water mark only after the touch succeeded (ADVICE r4:
+    # recording first made an allocation failure permanently skip prefault)
+    _prefaulted_mb = mb

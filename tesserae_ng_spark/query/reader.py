@@ -163,6 +163,7 @@ class TermPostings:
     _full: tuple | None = None
     _loader: object = None  # set by IndexReader; None for in-memory indexes
     _bucket: int | None = None
+    _blk_keys: object = None  # sorted packed (salt<<32)|block_id, lazy cache
 
     def ensure_payloads(
         self, blocks=None, with_positions: bool = False, segment: bool = False
@@ -465,6 +466,11 @@ class IndexReader:
                 if tp.blocks[i]._doc_ids is _UNLOADED
                 or (with_positions and tp.blocks[i]._positions is _UNLOADED)
             ]
+        if not blocks:
+            # nothing left to load (callers usually pre-filter to unloaded
+            # blocks, but an empty list must not fall through to `& sel`
+            # with sel=None — ADVICE r4)
+            return
         # per-salt block predicates, not salt.isin × block_id.isin: the
         # cross product pulled same-numbered blocks from EVERY listed salt,
         # reading payload bytes the window never asked for (ADVICE r3 /
@@ -501,48 +507,100 @@ class IndexReader:
         self._attach_payloads(tp, tbl, with_positions)
 
     def _attach_payloads(self, tp: TermPostings, tbl, with_positions: bool):
-        bmap = {(blk.salt, blk.block_id): blk for blk in tp.blocks}
-        got = {c: tbl.column(c).to_pylist() for c in tbl.schema.names}
-        for i in range(tbl.num_rows):
-            blk = bmap.get((got["salt"][i], got["block_id"][i]))
-            if blk is None:
-                continue  # scan returned a block this fetch doesn't track
-            if blk._doc_ids is _UNLOADED:
-                self.payload_blocks_loaded += 1
-                blk._doc_ids = got["doc_ids"][i]
-                blk._tfs = got["tfs"][i]
-                blk._dls = got["dls"][i]
-            if with_positions and blk._positions is _UNLOADED:
-                blk._positions = got["positions"][i]
+        if tbl.num_rows == 0:
+            return
+        keys = self._row_keys(tbl)
+        self._attach_term_rows(
+            tp, keys, np.arange(keys.size),
+            self._payload_lists(tbl, with_positions), with_positions,
+        )
 
     def _attach_payloads_multi(
         self, by_term: dict[str, TermPostings], tbl, with_positions: bool
     ):
         """Attach a multi-term payload scan in ONE pass over its rows —
-        no per-term Arrow filtering. Block maps build lazily per term as
-        its first row appears."""
-        got = {c: tbl.column(c).to_pylist() for c in tbl.schema.names}
-        bmaps: dict[str, dict] = {}
-        for i in range(tbl.num_rows):
-            term = got["term"][i]
+        no per-term Arrow filtering. Rows group by term via one Arrow
+        dictionary-encode + one stable argsort (no per-row Python until
+        the final attribute writes; VERDICT r4 #5 replaced the previous
+        per-row ``.to_pylist()`` loop with this numpy match)."""
+        if tbl.num_rows == 0:
+            return
+        keys = self._row_keys(tbl)
+        enc = tbl.column("term").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        terms = enc.dictionary.to_pylist()
+        order = np.argsort(codes, kind="stable")
+        starts = np.searchsorted(codes, np.arange(len(terms) + 1), sorter=order)
+        cols = self._payload_lists(tbl, with_positions)
+        for ti, term in enumerate(terms):
             tp = by_term.get(term)
             if tp is None:
                 continue  # bucket-mate term outside this request
-            bmap = bmaps.get(term)
-            if bmap is None:
-                bmap = bmaps[term] = {
-                    (blk.salt, blk.block_id): blk for blk in tp.blocks
-                }
-            blk = bmap.get((got["salt"][i], got["block_id"][i]))
-            if blk is None:
-                continue
+            rows = order[starts[ti]:starts[ti + 1]]
+            self._attach_term_rows(tp, keys, rows, cols, with_positions)
+
+    @staticmethod
+    def _payload_lists(tbl, with_positions: bool) -> dict:
+        """Payload byte columns → Python lists, ONCE per scan (each entry
+        is a zero-copy-into-bytes conversion done C-side by Arrow)."""
+        out = {c: tbl.column(c).to_pylist() for c in _PAYLOAD_COLS}
+        out["positions"] = (
+            tbl.column("positions").to_pylist() if with_positions else None
+        )
+        return out
+
+    @staticmethod
+    def _row_keys(tbl) -> np.ndarray:
+        """(salt, block_id) of every scan row packed into one sortable
+        int64 key (salts and per-salt block counters are both << 2^31)."""
+        salts = tbl.column("salt").combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        bids = tbl.column("block_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return (salts << 32) | bids
+
+    def _attach_term_rows(
+        self, tp: TermPostings, keys, rows, cols: dict, with_positions: bool
+    ):
+        """Match ``rows`` of the scan to ``tp``'s blocks by packed key —
+        one searchsorted against the term's (cached) sorted block keys;
+        Python touches only the matched rows' final attribute writes.
+        Scan rows a fetch doesn't track (readahead windows, stale rows)
+        drop out in the validity mask, same as the old dict .get."""
+        if not tp.blocks:
+            return
+        bkeys = tp._blk_keys
+        if bkeys is None:
+            # blocks are ordered (salt asc, block_id asc) → keys ascending
+            bkeys = tp._blk_keys = np.fromiter(
+                ((blk.salt << 32) | blk.block_id for blk in tp.blocks),
+                dtype=np.int64,
+                count=len(tp.blocks),
+            )
+        rk = keys[rows]
+        pos = np.searchsorted(bkeys, rk)
+        np.minimum(pos, bkeys.size - 1, out=pos)
+        valid = bkeys[pos] == rk
+        if not valid.any():
+            return
+        rows_v = rows[valid].tolist()
+        pos_v = pos[valid].tolist()
+        doc_ids = cols["doc_ids"]
+        tfs = cols["tfs"]
+        dls = cols["dls"]
+        poss = cols["positions"]
+        blocks = tp.blocks
+        for r, bi in zip(rows_v, pos_v):
+            blk = blocks[bi]
             if blk._doc_ids is _UNLOADED:
                 self.payload_blocks_loaded += 1
-                blk._doc_ids = got["doc_ids"][i]
-                blk._tfs = got["tfs"][i]
-                blk._dls = got["dls"][i]
+                blk._doc_ids = doc_ids[r]
+                blk._tfs = tfs[r]
+                blk._dls = dls[r]
             if with_positions and blk._positions is _UNLOADED:
-                blk._positions = got["positions"][i]
+                blk._positions = poss[r]
 
     def ensure_payloads(
         self, tps, with_positions: bool = False, max_df: int | None = None,

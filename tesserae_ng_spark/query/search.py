@@ -500,16 +500,19 @@ def proximity_topk(tps: list[TermPostings], window: int, k: int):
 # ---------------------------------------------------------------------------
 
 
-_SEARCHER_CACHE: dict[str, "Searcher"] = {}
+_SEARCHER_CACHE: dict[tuple[str, str], "Searcher"] = {}
 
 
-def get_searcher(index_dir: str) -> "Searcher":
+def get_searcher(index_dir: str, lang: str = "en") -> "Searcher":
     """Per-process searcher cache: executor python workers are reused across
     tasks, so the dictionary cache and dataset handles amortize over a
-    whole batch instead of being rebuilt per task."""
-    s = _SEARCHER_CACHE.get(index_dir)
+    whole batch instead of being rebuilt per task. Keyed by (dir, lang) so
+    a non-en deployment gets a searcher whose analysis chain matches the
+    index (the reader/dataset handles are per-searcher; two langs over one
+    dir is a test-only shape, not worth sharing the reader)."""
+    s = _SEARCHER_CACHE.get((index_dir, lang))
     if s is None:
-        s = _SEARCHER_CACHE[index_dir] = Searcher(index_dir)
+        s = _SEARCHER_CACHE[(index_dir, lang)] = Searcher(index_dir, lang)
     return s
 
 
@@ -592,7 +595,14 @@ def batch_bm25_hits(
 MIN_QUERIES_PER_SLICE = 16
 
 
-def search_batch(spark, index_dir: str, queries: list[dict], k: int = 10):
+def search_batch(
+    spark,
+    index_dir: str,
+    queries: list[dict],
+    k: int = 10,
+    lang: str = "en",
+    use_batch_scorer: bool | None = None,
+):
     """Run many queries distributed: each executor opens the immutable index
     and serves its partition of queries (broadcast-free — queries are data,
     the index is shared storage). Returns DataFrame(query_id, rank, doc_id,
@@ -614,13 +624,21 @@ def search_batch(spark, index_dir: str, queries: list[dict], k: int = 10):
 
     def run_part(qs):
         qs = list(qs)
-        searcher = get_searcher(index_dir)
+        searcher = get_searcher(index_dir, lang)
         bm25_qs = [q for q in qs if q.get("mode", "bm25") == "bm25"]
         other_qs = [q for q in qs if q.get("mode", "bm25") != "bm25"]
         done = set()
-        if bm25_qs and _use_batch_scorer():
+        batch_on = (
+            _use_batch_scorer()
+            if use_batch_scorer is None
+            else bool(use_batch_scorer)
+        )
+        if bm25_qs and batch_on:
             # opt-in term-at-a-time batch scoring (see _use_batch_scorer
-            # for why per-query adaptive dispatch is the default)
+            # for why per-query adaptive dispatch is the default). The
+            # explicit parameter rides the task closure, so it works from
+            # a test/driver without needing the env var to reach executor
+            # python workers (ADVICE r4 #2).
             hits_per_q = batch_bm25_hits(searcher, bm25_qs, k)
             if hits_per_q is not None:
                 for q, hits in zip(bm25_qs, hits_per_q):

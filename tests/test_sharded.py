@@ -127,3 +127,128 @@ def test_sharded_absent_term_empty(spark, indexes):
         k=5,
     )
     assert out.count() == 0
+
+
+def test_phase1_distributed_bit_identical(spark, indexes, monkeypatch):
+    """VERDICT r5 #1: the Spark-job phase 1 must be bit-identical to the
+    serial driver loop (integer sums over disjoint shards commute), and the
+    counters must show a JOB ran — not a per-shard driver loop."""
+    from tesserae_ng_spark.query import sharded as sh
+
+    shard_dirs, _ = indexes
+    terms = ["join", "hash", "scan", "zzmissing"]
+
+    sh._STATS_MEMO.clear()
+    serial = global_shard_stats(shard_dirs, terms)  # below threshold → loop
+
+    sh._STATS_MEMO.clear()
+    monkeypatch.setattr(sh, "PHASE1_DISTRIBUTE_MIN", 0)
+    before = dict(sh.PHASE1_COUNTERS)
+    dist = global_shard_stats(
+        shard_dirs, terms, sc=spark.sparkContext
+    )
+    assert sh.PHASE1_COUNTERS["jobs"] == before["jobs"] + 1
+    assert sh.PHASE1_COUNTERS["serial_shards"] == before["serial_shards"]
+    assert dist == serial  # exact, including every df int
+
+
+def test_phase1_memo_skips_io(spark, indexes, monkeypatch):
+    """Repeat batches over an immutable shard set pay zero phase-1 work;
+    novel terms trigger ONE incremental lookup for just the missing terms."""
+    from tesserae_ng_spark.query import sharded as sh
+
+    shard_dirs, _ = indexes
+    sh._STATS_MEMO.clear()
+    a = global_shard_stats(shard_dirs, ["join", "hash"])
+    hits0 = sh.PHASE1_COUNTERS["memo_hits"]
+    b = global_shard_stats(shard_dirs, ["join", "hash"])
+    assert sh.PHASE1_COUNTERS["memo_hits"] == hits0 + 1
+    assert a == b
+    # novel term: incremental (not a memo hit, but covered terms reused)
+    c = global_shard_stats(shard_dirs, ["join", "scan"])
+    assert sh.PHASE1_COUNTERS["memo_hits"] == hits0 + 1
+    assert c["df"]["join"] == a["df"]["join"]
+    assert c["n_docs"] == a["n_docs"]
+
+
+def test_sharded_lang_threads_through(spark, corpus, tmp_path_factory):
+    """VERDICT r5 #2: `lang` reaches phase-1 analysis, the global-df memo
+    and every phase-2 searcher. Under lang='xx' (identity stemming) the
+    sharded result must be rank+score-identical to a union index built and
+    queried with the same lang — and differ from the en-stemmed world on a
+    query whose tokens only match when stemmed."""
+    base = tmp_path_factory.mktemp("sharded_xx")
+    # relabel the corpus lang: build_index's `lang` is a corpus FILTER; the
+    # analysis chain follows the per-doc lang column, so lang='xx' docs get
+    # identity (non-Porter) stemming at build time
+    corpus_xx = corpus.withColumn("lang", F.lit("xx"))
+    shard_dirs = []
+    for i in range(N_SHARDS):
+        part = corpus_xx.filter(
+            F.pmod(F.xxhash64("url"), F.lit(N_SHARDS)) == i
+        )
+        out = str(base / f"shard{i}")
+        build_index(spark, part, out, n_parts=1, block_size=16, n_buckets=2,
+                    target_postings_per_salt=64)
+        shard_dirs.append(out)
+    union_dir = str(base / "union")
+    build_index(spark, corpus_xx, union_dir, n_parts=2, block_size=16,
+                n_buckets=2, target_postings_per_salt=64)
+    union = Searcher(union_dir, lang="xx")
+    queries = [
+        dict(query_id=i, query_text=qt, mode="bm25", k=10)
+        for i, qt in enumerate(["joins", "hash scan", "sorted merges"])
+    ] + [dict(query_id=9, query_text="hash join", mode="phrase", k=10)]
+    got = search_sharded(spark, shard_dirs, queries, k=10, lang="xx").collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in queries:
+        want = union.search(q["query_text"], k=10, mode=q.get("mode", "bm25"))
+        rows = sorted(by_q.get(q["query_id"], []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in rows] == [h.doc_id for h in want], q
+        for r, h in zip(rows, want):
+            assert abs(r["score"] - h.score) < 1e-9, q
+    # sanity that lang mattered at all: 'joins' unstemmed misses docs that
+    # an en-stemmed index would hit (identity vs Porter stemming differ)
+    en_union = Searcher(union_dir)  # en analysis over the xx-built index
+    assert union.search("joins", k=10) != en_union.search("joins", k=10) or \
+        not union.search("joins", k=10)
+
+
+def test_batch_scorer_integration_identical(spark, indexes):
+    """ADVICE r4 #2: search_batch + search_sharded with the term-at-a-time
+    batch scorer forced ON must return results identical to the default
+    adaptive per-query path (done-set bookkeeping, global-stats override,
+    uncapped ensure_payloads, rank construction all exercised)."""
+    from tesserae_ng_spark.query.search import search_batch
+
+    shard_dirs, union_dir = indexes
+    queries = [
+        dict(query_id=i, query_text=qt, mode="bm25", k=10)
+        for i, qt in enumerate(
+            ["join", "hash scan", "sort merge join", "table hash",
+             "scan scan join", "zzmissing join"]
+        )
+    ] + [
+        dict(query_id=10, query_text="hash join", mode="phrase", k=10),
+        dict(query_id=11, query_text="sort merge", mode="proximity", k=10,
+             window=6),
+    ]
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 12))
+            for r in df.collect()
+        )
+
+    base_b = rows(search_batch(spark, union_dir, queries, k=10,
+                               use_batch_scorer=False))
+    got_b = rows(search_batch(spark, union_dir, queries, k=10,
+                              use_batch_scorer=True))
+    assert got_b == base_b
+    base_s = rows(search_sharded(spark, shard_dirs, queries, k=10,
+                                 use_batch_scorer=False))
+    got_s = rows(search_sharded(spark, shard_dirs, queries, k=10,
+                                use_batch_scorer=True))
+    assert got_s == base_s
