@@ -72,6 +72,7 @@ def main():
     )
     timings["build_index"] = time.time() - t0
     out_json["docs_per_sec"] = round(res.n_docs / timings["build_index"], 2)
+    out_json["build_phases"] = res.phases
     out_json["n_docs"] = res.n_docs
     out_json["n_terms"] = res.n_terms
     out_json["n_blocks"] = res.n_blocks

@@ -59,6 +59,11 @@ class BuildResult:
     built_parts: list[int]
     skipped_parts: list[int]
     wall_s: float
+    # wall per build phase (parts = shard builds incl. UDF analysis;
+    # merge_postings = global block merge + bucketed write; merge_dict =
+    # dictionary build + stats) — scaling-protocol observability: the
+    # serial fraction at 4N hides here, not in the per-doc work
+    phases: dict = None
 
 
 def _fingerprint(
@@ -197,6 +202,7 @@ def build_index(
                 built.append(part)
         built.sort()
 
+    t_parts = time.time() - t_start
     result = _merge_all(
         spark, out_dir, target_postings_per_salt, n_buckets, block_size,
         expected=expected,
@@ -204,6 +210,7 @@ def build_index(
     result.built_parts = built
     result.skipped_parts = skipped
     result.wall_s = time.time() - t_start
+    result.phases["parts_s"] = round(t_parts, 3)
     return result
 
 
@@ -279,6 +286,7 @@ def _merge_all(
     total_tokens = sum(m["total_tokens"] for m in manifests)
     avg_dl = (total_tokens / n_docs) if n_docs else 0.0
 
+    t_merge = time.time()
     shard_blocks = spark.read.parquet(f"{out_dir}/shards/postings")
     postings = merge_shard_blocks(
         shard_blocks,
@@ -303,6 +311,7 @@ def _merge_all(
         .parquet(f"{out_dir}/postings")
     )
 
+    t_dict = time.time()
     final_posts = spark.read.parquet(f"{out_dir}/postings")
     term_cf = (
         spark.read.parquet(f"{out_dir}/shards/postings")
@@ -341,4 +350,8 @@ def _merge_all(
         built_parts=[],
         skipped_parts=[],
         wall_s=0.0,
+        phases={
+            "merge_postings_s": round(t_dict - t_merge, 3),
+            "merge_dict_s": round(time.time() - t_dict, 3),
+        },
     )

@@ -37,9 +37,19 @@ def from_u64(u: np.ndarray) -> np.ndarray:
 
 def varint_encode(values: np.ndarray) -> bytes:
     """uint64 array → LEB128 bytes (high bit = continuation)."""
+    return varint_encode_lengths(values)[0]
+
+
+def varint_encode_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """uint64 array → (LEB128 bytes, per-value byte lengths).
+
+    The lengths array lets batch encoders slice ONE stream into per-block
+    chunks by byte offset (cumsum of lengths) — varint streams are
+    self-delimiting, so a chunk of whole values is itself a valid stream.
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     lengths = np.ones(v.size, dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
@@ -52,7 +62,7 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = ((v[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (lengths[mask] > b + 1).astype(np.uint8) << 7
         out[offsets[mask] + b] = byte | cont
-    return out.tobytes()
+    return out.tobytes(), lengths
 
 
 def varint_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:

@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from tesserae_ng_spark.index.codec import delta_encode_ids, varint_encode
+from tesserae_ng_spark.index.codec import (
+    delta_encode_ids,
+    expand_segment_values,
+    to_u64,
+    varint_encode,
+    varint_encode_lengths,
+)
 from tesserae_ng_spark.schemas import BLOCK_SIZE
 
 SHARD_BLOCK_SCHEMA = T.StructType(
@@ -81,18 +87,200 @@ def encode_term_group(pdf: pd.DataFrame, block_size: int = BLOCK_SIZE) -> pd.Dat
     return pd.DataFrame(rows)
 
 
+def encode_blocks_batch(pdf: pd.DataFrame, block_size: int = BLOCK_SIZE) -> pd.DataFrame:
+    """Encode a frame of MANY complete term groups — rows pre-sorted by
+    (term, doc_id) — into block rows, byte-identical to running
+    ``encode_term_group`` per group (pinned by tests/test_codec.py).
+
+    Everything is batch-wide numpy: ONE varint encode per column for the
+    whole frame (per-value byte lengths → per-block byte offsets; varint
+    streams are self-delimiting so slicing whole values is lossless), one
+    reduceat for tf sums, one byte join + offset slicing for positions.
+    Python-per-group cost is zero — this stage used to spend ~70 % of the
+    build's encode wall on per-group pandas slicing + per-block small-array
+    varint calls (round-5 profile: 36 s → ~6 s of a 46 s stage at 17M
+    postings, local[8])."""
+    n = len(pdf)
+    if n == 0:
+        return pd.DataFrame(columns=[f.name for f in SHARD_BLOCK_SCHEMA])
+    terms = pdf["term"].to_numpy()
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = terms[1:] != terms[:-1]
+    group_starts = np.flatnonzero(change).astype(np.int64)
+    # per-row index of its group's first row, then rank within group
+    row_gs = expand_segment_values(group_starts, group_starts, n)
+    rank = np.arange(n, dtype=np.int64) - row_gs
+    block_starts = np.flatnonzero(rank % block_size == 0).astype(np.int64)
+    block_ends = np.append(block_starts[1:], n)
+
+    u = to_u64(ids)
+    deltas = np.empty_like(u)
+    deltas[0] = u[0]
+    deltas[1:] = u[1:] - u[:-1]
+    deltas[block_starts] = u[block_starts]  # absolute at every block start
+    id_buf, id_len = varint_encode_lengths(deltas)
+    tf_buf, tf_len = varint_encode_lengths(tfs.astype(np.uint64))
+    dl_buf, dl_len = varint_encode_lengths(dls.astype(np.uint64))
+
+    def _slices(buf: bytes, lens: np.ndarray) -> list[bytes]:
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        return [
+            buf[off[s]:off[e]] for s, e in zip(block_starts, block_ends)
+        ]
+
+    pos_col = pdf["positions"]
+    has_pos = pos_col.iloc[0] is not None
+    if has_pos:
+        pos_list = pos_col.tolist()
+        plens = np.fromiter(
+            (len(x) for x in pos_list), dtype=np.int64, count=n
+        )
+        pbuf = b"".join(pos_list)
+        poff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(plens, out=poff[1:])
+        pos_out = [
+            pbuf[poff[s]:poff[e]] for s, e in zip(block_starts, block_ends)
+        ]
+    else:
+        pos_out = None
+
+    return pd.DataFrame(
+        {
+            "term": terms[block_starts],
+            "block_id": (rank[block_starts] // block_size).astype(np.int32),
+            "n_docs": (block_ends - block_starts).astype(np.int32),
+            "tf_sum": np.add.reduceat(tfs, block_starts),
+            "block_first_doc": ids[block_starts],
+            "block_last_doc": ids[block_ends - 1],
+            "doc_ids": _slices(id_buf, id_len),
+            "tfs": _slices(tf_buf, tf_len),
+            "dls": _slices(dl_buf, dl_len),
+            "positions": pos_out,
+        }
+    )
+
+
+def encode_batch_arrow(tbl, block_size: int = BLOCK_SIZE):
+    """Arrow-native encode of a table of COMPLETE term groups, rows sorted
+    by (term, doc_id) → one output RecordBatch of block rows (or None).
+
+    Semantics identical to encode_blocks_batch / per-group
+    encode_term_group (pinned in tests/test_codec.py) but with ZERO
+    per-row Python objects: group boundaries come from a C-side
+    dictionary-encode, numeric columns cross as numpy views, the
+    positions column is sliced by offset math against its Arrow data
+    buffer (per-row position streams are contiguous in row order, so a
+    block's positions are one buffer slice — the output array SHARES the
+    input data buffer), and the three varint columns are each ONE
+    whole-batch encode whose per-value byte lengths yield per-block
+    offsets for a zero-copy from_buffers binary array. Materializing 17M
+    per-row bytes objects through pandas was ~2/3 of the stage wall."""
+    import pyarrow as pa
+
+    tbl = tbl.combine_chunks()
+    n = tbl.num_rows
+    if n == 0:
+        return None
+    term = tbl.column("term").combine_chunks()
+    codes = term.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False
+    )
+    tfs = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    dls = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = codes[1:] != codes[:-1]
+    group_starts = np.flatnonzero(change).astype(np.int64)
+    row_gs = expand_segment_values(group_starts, group_starts, n)
+    rank = np.arange(n, dtype=np.int64) - row_gs
+    block_starts = np.flatnonzero(rank % block_size == 0).astype(np.int64)
+    block_ends = np.append(block_starts[1:], n)
+    nblocks = block_starts.size
+    bnd = np.append(block_starts, n)  # n+1-ish boundary index vector
+
+    u = to_u64(ids)
+    deltas = np.empty_like(u)
+    deltas[0] = u[0]
+    deltas[1:] = u[1:] - u[:-1]
+    deltas[block_starts] = u[block_starts]
+
+    def _binary(buf: bytes, lens: np.ndarray) -> pa.Array:
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        bo = off[bnd]
+        assert bo[-1] <= np.iinfo(np.int32).max, "batch binary > 2 GiB"
+        return pa.Array.from_buffers(
+            pa.binary(),
+            nblocks,
+            [None, pa.py_buffer(bo.astype(np.int32).tobytes()),
+             pa.py_buffer(buf)],
+        )
+
+    id_arr = _binary(*varint_encode_lengths(deltas))
+    tf_arr = _binary(*varint_encode_lengths(tfs.astype(np.uint64)))
+    dl_arr = _binary(*varint_encode_lengths(dls.astype(np.uint64)))
+
+    pos = tbl.column("positions").combine_chunks()
+    if pos.null_count >= n:
+        pos_arr = pa.nulls(nblocks, pa.binary())
+    else:
+        if pos.null_count:
+            # mixed positional/non-positional rows (not a real build shape)
+            pos = pos.fill_null(b"").combine_chunks()
+        pbufs = pos.buffers()
+        # value offsets honor the array's own slice offset
+        roff = np.frombuffer(
+            pbufs[1], dtype=np.int32, count=n + 1 + pos.offset
+        )[pos.offset:]
+        pos_arr = pa.Array.from_buffers(
+            pa.binary(),
+            nblocks,
+            [None, pa.py_buffer(roff[bnd].astype(np.int32).tobytes()),
+             pbufs[2]],
+        )
+
+    return pa.RecordBatch.from_arrays(
+        [
+            term.take(pa.array(block_starts, pa.int64())),
+            pa.array((rank[block_starts] // block_size).astype(np.int32)),
+            pa.array((block_ends - block_starts).astype(np.int32)),
+            pa.array(np.add.reduceat(tfs, block_starts).astype(np.int64)),
+            pa.array(ids[block_starts]),
+            pa.array(ids[block_ends - 1]),
+            id_arr,
+            tf_arr,
+            dl_arr,
+            pos_arr,
+        ],
+        names=[f.name for f in SHARD_BLOCK_SCHEMA],
+    )
+
+
 def encode_shard_blocks(term_doc_dl: DataFrame, block_size: int = BLOCK_SIZE) -> DataFrame:
     """(term, doc_id, tf, dl, positions) → shard block rows.
 
-    One exchange keyed by term, then partition-sorted grouped encoding
-    (index/grouped.py): Arrow cost is per batch, not per term group —
-    per-group applyInPandas plumbing dominated the stage on realistic
-    (10k+ term) dictionaries."""
-    from tesserae_ng_spark.index.grouped import grouped_map_sorted
+    One exchange keyed by term and partition-sorted by (term, doc_id) —
+    the JVM sort replaces per-group pandas sorts — then mapInArrow with
+    batch-wide columnar encoding (encode_batch_arrow) over complete
+    groups per Arrow batch: Arrow AND Python costs are per batch, not per
+    term group, per block, or per row. A group straddling two Arrow
+    batches is carried over (partition-sorted data keeps groups
+    contiguous and within one partition), same contract as
+    index/grouped.py."""
+    from tesserae_ng_spark.index.grouped import grouped_arrow_sorted
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return encode_term_group(pdf, block_size)
-
-    return grouped_map_sorted(
-        term_doc_dl, ["term"], fn, SHARD_BLOCK_SCHEMA
+    return grouped_arrow_sorted(
+        term_doc_dl,
+        ["term"],
+        lambda t: encode_batch_arrow(t, block_size),
+        SHARD_BLOCK_SCHEMA,
+        sort_extra=("doc_id",),
     )

@@ -79,9 +79,10 @@ def test_build_has_no_token_level_shuffle(spark, corpus):
     # asof window + term grouping, nothing else (may collapse to 1 when the
     # cache manager substitutes an earlier test's cached prepared subtree)
     assert 1 <= n_exchanges <= 2, f"n_exchanges={n_exchanges}\n{tree[:4000]}"
-    # Arrow grouped encoder: partition-sorted MapInPandas (grouped.py) —
-    # per-batch Arrow cost, not per-term-group
-    assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+    # Arrow-native grouped encoder: partition-sorted MapInArrow
+    # (grouped.py grouped_arrow_sorted) — per-batch cost, zero per-row
+    # Python objects, not per-term-group plumbing
+    assert "MapInArrow" in plan
 
 
 def test_bm25_oracle_broadcasts_df_side(spark, corpus):
