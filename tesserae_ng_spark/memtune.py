@@ -57,6 +57,18 @@ def tune_allocator(warm_mb: int = 8, force: bool = False) -> bool:
         import ctypes
 
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        # opt out of transparent huge pages for this process (inherited
+        # across fork, so Spark python workers forked from a tuned daemon
+        # keep it): on this VM khugepaged runs at 100% of a core and
+        # first-touch of a fresh 256 MB arena measured 65 s with THP
+        # participation vs 0.13 s with PR_SET_THP_DISABLE — hugepage
+        # allocation/compaction stalls dwarf the work being allocated
+        # for. Harmless where THP is quiet; errors ignored (non-Linux).
+        PR_SET_THP_DISABLE = 41
+        try:
+            libc.prctl(PR_SET_THP_DISABLE, 1, 0, 0, 0)
+        except Exception:
+            pass
         M_TRIM_THRESHOLD = -1
         M_MMAP_THRESHOLD = -3
         if libc.mallopt(M_MMAP_THRESHOLD, 1 << 30) != 1:

@@ -23,6 +23,7 @@ re-expressed over positional postings):
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -63,9 +64,19 @@ class Hit:
 
 
 class Searcher:
-    def __init__(self, index_dir: str, lang: str = "en"):
+    def __init__(
+        self, index_dir: str, lang: str = "en", warm_mb: float | None = None
+    ):
         self.reader = IndexReader(index_dir)
         self.lang = lang
+        # opt-in head-term warmer (IndexReader.warm_top_terms — the
+        # Solr warming-query analog for latency-sensitive services).
+        # warm_mb=None reads TNG_WARM_MB (default 0 = stay lazy).
+        if warm_mb is None:
+            warm_mb = float(os.environ.get("TNG_WARM_MB", "0") or 0)
+        self.warm_info = (
+            self.reader.warm_top_terms(warm_mb) if warm_mb > 0 else None
+        )
 
     def search(self, query_text: str, k: int = 10, mode: str = "bm25",
                window: int = 5, global_stats: dict | None = None) -> list[Hit]:

@@ -293,3 +293,39 @@ def test_param_change_rebuilds_not_resumes(spark, corpus, tmp_path):
     res = build_index(spark, corpus, out, n_parts=2, block_size=32, n_buckets=2)
     assert res.skipped_parts == []
     assert res.built_parts == [0, 1]
+
+
+def test_warm_top_terms(spark, corpus, index_dir):
+    """Opt-in head-term warmer (VERDICT r5 #4): warming loads + decodes
+    the top-df terms' payloads at open so a head-term query issues ZERO
+    payload scans afterwards; results stay identical to a lazy searcher,
+    and the default searcher stays lazy (no warm_info)."""
+    from tesserae_ng_spark.query.search import Searcher
+
+    lazy = Searcher(index_dir)
+    assert lazy.warm_info is None
+
+    warm = Searcher(index_dir, warm_mb=64)
+    assert warm.warm_info["terms"] > 0
+    # the corpus head term is inside any 64 MB budget at this scale
+    head = max(
+        warm.reader._dict_cache.values(), key=lambda r: r["df"]
+    )["term"]
+    scans_before = warm.reader.payload_scans
+    got = warm.search(head, k=10)
+    assert warm.reader.payload_scans == scans_before  # served from warm set
+    want = lazy.search(head, k=10)
+    assert [(h.doc_id, h.score) for h in got] == [
+        (h.doc_id, h.score) for h in want
+    ]
+    # multi-term queries over warmed terms also stay scan-free
+    terms2 = sorted(
+        warm.reader._dict_cache.values(), key=lambda r: -r["df"]
+    )[:3]
+    q = " ".join(r["term"] for r in terms2)
+    scans_before = warm.reader.payload_scans
+    got2 = warm.search(q, k=10)
+    assert warm.reader.payload_scans == scans_before
+    assert [(h.doc_id, round(h.score, 12)) for h in got2] == [
+        (h.doc_id, round(h.score, 12)) for h in lazy.search(q, k=10)
+    ]
