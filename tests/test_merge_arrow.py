@@ -171,3 +171,50 @@ def test_merge_arrow_slice_offset():
     )
     got = merge_batch_arrow(tbl.slice(cut), float(N_DOCS), AVG_DL).to_pandas()
     assert _canon(got) == _canon(want)
+
+
+def test_merge_chunking_invariant(spark, monkeypatch):
+    """grouped_arrow_sorted(max_rows=...) re-chunks batches at group
+    boundaries; results must be independent of the chunk bound (the
+    sf0.001 e2e suite never exceeds the production bound, so pin it
+    explicitly with a tiny one)."""
+    import pandas as pd
+
+    from tesserae_ng_spark.index import merge as M
+    from tesserae_ng_spark.index.encode import SHARD_BLOCK_SCHEMA
+
+    rng = np.random.RandomState(5)
+    routed = _shard_blocks(
+        rng, [f"t{i:02d}" for i in range(12)],
+        [int(rng.randint(5, 90)) for _ in range(12)], True,
+    )
+    shard_cols = [f.name for f in SHARD_BLOCK_SCHEMA]
+    # _shard_blocks emits one row per covering salt; merge_shard_blocks
+    # does its own salt routing, so feed it the UN-exploded blocks
+    # ((term, block_id, first_doc) is unique across the two shards)
+    blocks_only = routed.drop_duplicates(
+        subset=["term", "block_id", "block_first_doc"]
+    )
+    sdf = spark.createDataFrame(blocks_only[shard_cols], SHARD_BLOCK_SCHEMA)
+
+    def run(max_rows):
+        monkeypatch.setattr(M, "MERGE_BATCH_MAX_ROWS", max_rows)
+        out = M.merge_shard_blocks(
+            sdf, n_docs=N_DOCS, avg_dl=AVG_DL,
+            target_postings_per_salt=24, block_size=8,
+        ).collect()
+        return sorted(
+            (
+                r["term"], r["salt"], r["block_id"], r["n_docs"],
+                r["block_first_doc"], r["block_last_doc"],
+                r["block_max_score"].hex(), r["block_max_tf"],
+                r["block_min_dl"], bytes(r["doc_ids"]), bytes(r["tfs"]),
+                bytes(r["dls"]),
+                bytes(r["positions"]) if r["positions"] is not None else None,
+            )
+            for r in out
+        )
+
+    tiny = run(3)       # many chunks, incl. single-group oversize chunks
+    huge = run(10**9)   # one call per complete-groups frame
+    assert tiny == huge and len(tiny) > 10
