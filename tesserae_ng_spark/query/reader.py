@@ -164,6 +164,28 @@ class TermPostings:
     _loader: object = None  # set by IndexReader; None for in-memory indexes
     _bucket: int | None = None
     _blk_keys: object = None  # sorted packed (salt<<32)|block_id, lazy cache
+    _ld_ids: bool = False  # every block's id payloads known-loaded (memo)
+    _ld_pos: bool = False  # ... and positions too
+    _pos_touched: object = None  # block idxs candidate_positions has needed
+
+    def payloads_loaded(self, with_positions: bool = False) -> bool:
+        """All-blocks-loaded check, memoized once true (blocks never
+        unload). A false answer short-circuits at the first unloaded
+        block; the expensive all-true full scan happens once per term —
+        batch slices re-verify hot terms on every query otherwise (the
+        scan measured ~5% of a 480k-doc positional batch)."""
+        if self._ld_pos or (not with_positions and self._ld_ids):
+            return True
+        ok = all(
+            blk._doc_ids is not _UNLOADED
+            and (not with_positions or blk._positions is not _UNLOADED)
+            for blk in self.blocks
+        )
+        if ok:
+            self._ld_ids = True
+            if with_positions:
+                self._ld_pos = True
+        return ok
 
     def ensure_payloads(
         self, blocks=None, with_positions: bool = False, segment: bool = False
@@ -171,6 +193,8 @@ class TermPostings:
         """Load the compressed payload bytes for ``blocks`` (default: all)
         if not yet read. ``segment`` turns a single-block demand into a
         readahead window (IndexReader._load_payloads)."""
+        if blocks is None and self.payloads_loaded(with_positions):
+            return
         need = [
             blk
             for blk in (self.blocks if blocks is None else blocks)
@@ -198,18 +222,34 @@ class TermPostings:
         import numpy as _np
 
         blocks = self.blocks
-        lasts = getattr(self, "_lasts", None)
-        if lasts is None:
-            lasts = self._lasts = _np.array(
-                [blk.last_doc for blk in blocks], dtype=_np.int64
-            )
         cand_ids = _np.asarray(cand_ids, dtype=_np.int64)
-        bi = _np.searchsorted(lasts, cand_ids)  # block of each candidate
-        needed = _np.unique(bi)
+        bulk = self._full is not None and self._full[3] is not None
+        needed = None
+        if not bulk:
+            lasts = getattr(self, "_lasts", None)
+            if lasts is None:
+                lasts = self._lasts = _np.array(
+                    [blk.last_doc for blk in blocks], dtype=_np.int64
+                )
+            bi = _np.searchsorted(lasts, cand_ids)  # block of each candidate
+            needed = _np.unique(bi)
+            # rent-or-buy across a BATCH's queries: once this term's
+            # queries have cumulatively touched > 1/4 of its blocks
+            # (or one query does — head∧head conjunction), pay the full
+            # concat decode ONCE; decode_full caches it, so every later
+            # query on this term gathers out of the shared flat arrays
+            # instead of re-running the per-block loop (VERDICT r4 #7 —
+            # total spend stays ≤ 1.25× the buy cost by the standard
+            # ski-rental argument)
+            touched = self._pos_touched
+            if touched is None:
+                touched = self._pos_touched = set()
+            touched.update(needed.tolist())
+            if needed.size * 4 > len(blocks) or len(touched) * 4 > len(blocks):
+                bulk = True
+                self._pos_touched = None  # upgrade is permanent
 
-        if needed.size * 4 > len(blocks):
-            # candidates span most blocks (head∧head conjunction): the
-            # per-block path's fixed costs lose to one bulk concat decode
+        if bulk:
             ids, tfs, dls, pos_flat, pos_offs = self.decode_full(
                 with_positions=True
             )
@@ -670,11 +710,7 @@ class IndexReader:
             tp
             for tp in tps
             if (max_df is None or tp.df <= max_df)
-            and any(
-                blk._doc_ids is _UNLOADED
-                or (with_positions and blk._positions is _UNLOADED)
-                for blk in tp.blocks
-            )
+            and not tp.payloads_loaded(with_positions)
         ]
         if not need:
             return

@@ -240,6 +240,26 @@ def _isin_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return out
 
 
+def _intersect_sorted_unique(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Sorted intersection (VALUES) of two sorted arrays with UNIQUE
+    elements — doc-id lists and packed (row, pos) keys both qualify.
+
+    Skewed sizes → probe the small side into the big one (searchsorted,
+    O(small · log big)). Comparable sizes → ONE stable sort of the
+    concatenation: numpy's timsort galloping-merges the two pre-sorted
+    runs in O(n) sequential passes (measured ~3× a same-size
+    searchsorted's n·log n random probes on this host), and with unique
+    inputs the intersection is exactly the adjacent-duplicate values of
+    the merge. Crossover 4:1 from the measured per-element costs
+    (~8 ns/elem merge vs ~46 ns/probe at 1M)."""
+    small, big = (a, b) if a.size <= b.size else (b, a)
+    if small.size * 4 <= big.size:
+        return small[_isin_sorted(small, big)]
+    v = np.sort(np.concatenate((a, b)), kind="stable")
+    dup = v[1:] == v[:-1]
+    return v[:-1][dup]
+
+
 def _sorted_group_starts(rows: np.ndarray) -> np.ndarray:
     """Start indices of each run of equal values in a SORTED array — the
     np.unique replacement for pre-sorted input (np.unique re-sorts, which
@@ -252,9 +272,18 @@ def _phrase_rows_vectorized(keys: list[np.ndarray]):
     """→ (rows, phrase_tf) of common-rows containing the exact phrase.
     Chained sorted-membership over packed keys: start positions where
     term_i sits at pos+i for every i. Fully vectorized across all docs."""
-    cur = keys[0]
-    for i in range(1, len(keys)):
-        cur = cur[_isin_sorted(cur + i, keys[i])]
+    # chain from the SMALLEST key array: candidate phrase starts are
+    # keys[j0] - j0, and every probe after the first filters a set no
+    # larger than the smallest term's occurrence count — for a head∧tail
+    # phrase that replaces an O(head-positions) first pass with an
+    # O(tail-positions) one. Underflowed starts (occurrence index < j0,
+    # so the packed key slips into the previous row) can never survive:
+    # j0 != 0 means term 0 is probed at +0, and keys are nonnegative.
+    order = sorted(range(len(keys)), key=lambda j: keys[j].size)
+    j0 = order[0]
+    cur = keys[j0] - j0
+    for i in order[1:]:
+        cur = _intersect_sorted_unique(cur + i, keys[i]) - i
         if cur.size == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     rows = cur >> _ROW_BITS  # sorted (cur is sorted)
@@ -268,17 +297,18 @@ def _min_span_2term_vectorized(k1: np.ndarray, k2: np.ndarray):
     The minimal cross-set distance is realized by an adjacent pair in the
     merged sorted order (classic two-pointer argument), so one argsort +
     one adjacent scan covers every doc simultaneously."""
-    # k1 and k2 arrive sorted: merge via two searchsorted passes instead of
-    # a stable argsort over the concatenation (~3× less work at this size)
-    n1, n2 = k1.size, k2.size
-    idx1 = np.arange(n1, dtype=np.int64) + np.searchsorted(k2, k1, side="left")
-    idx2 = np.arange(n2, dtype=np.int64) + np.searchsorted(k1, k2, side="right")
-    ks = np.empty(n1 + n2, dtype=np.int64)
-    fs = np.empty(n1 + n2, dtype=np.int8)
-    ks[idx1] = k1
-    ks[idx2] = k2
-    fs[idx1] = 0
-    fs[idx2] = 1
+    # k1 and k2 arrive sorted: pack the origin term into bit 0 and let ONE
+    # stable sort merge the two pre-sorted runs (timsort gallops them in
+    # O(n) sequential passes — measured faster than two same-size
+    # searchsorted probe passes plus their random scatter stores). Keys are
+    # row·2^21 + pos with row < n_common, so the 1-bit shift cannot
+    # overflow; ties (same key, both terms) keep term order 0-then-1,
+    # identical to the old left/right-sided searchsorted merge.
+    v = np.sort(
+        np.concatenate(((k1 << 1), (k2 << 1) | 1)), kind="stable"
+    )
+    ks = v >> 1
+    fs = v & 1
     rows_all = ks >> _ROW_BITS
     same_row = rows_all[1:] == rows_all[:-1]
     diff_term = fs[1:] != fs[:-1]
@@ -303,12 +333,18 @@ def _min_cover_span_vectorized(keys: list[np.ndarray]):
     per-term 'most recent key ≤ here' is a masked np.maximum.accumulate,
     validity = that key still belongs to the same row."""
     T = len(keys)
-    allk = np.concatenate(keys)
-    term_of = np.concatenate(
-        [np.full(k.size, t, dtype=np.int16) for t, k in enumerate(keys)]
+    # pack the term ordinal into the low bits and merge the pre-sorted
+    # runs with ONE stable value sort (timsort gallops sorted runs; an
+    # argsort would pay an extra permutation gather). Keys are
+    # row·2^21 + pos < 2^43, so a few term bits cannot overflow.
+    tbits = max(1, (T - 1).bit_length())
+    v = np.sort(
+        np.concatenate(
+            [(k << tbits) | t for t, k in enumerate(keys)]
+        ),
+        kind="stable",
     )
-    order = np.argsort(allk, kind="stable")
-    ks, ts = allk[order], term_of[order]
+    ks, ts = v >> tbits, v & ((1 << tbits) - 1)
     n = ks.size
     mins = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
     for t in range(T):
@@ -385,9 +421,16 @@ def _candidate_decoded(tps: list[TermPostings]):
     head∧tail conjunction touches ~df(tail) docs, so the head term's
     position bytes — the bulk of its postings — never load or decode."""
     ids_lists = [tp.decode_full()[0] for tp in tps]
-    common = ids_lists[0]
-    for ids in ids_lists[1:]:
-        common = common[_isin_sorted(common, ids)]
+    # intersect in ASCENDING df order: searchsorted cost is
+    # O(|probe| · log |table|), so the probe side must be the small one.
+    # A head∧tail conjunction probed head-first costs O(df_head ·
+    # log df_tail); tail-first it is O(df_tail · log df_head) — orders of
+    # magnitude less on a Zipf dictionary (the candidate SET is identical
+    # either way, so downstream results are unchanged).
+    by_size = sorted(range(len(tps)), key=lambda t: ids_lists[t].size)
+    common = ids_lists[by_size[0]]
+    for t in by_size[1:]:
+        common = _intersect_sorted_unique(common, ids_lists[t])
         if common.size == 0:
             return None
     decoded = []
