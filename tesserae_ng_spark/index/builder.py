@@ -37,7 +37,7 @@ from tesserae_ng_spark.index.build import (
     prepare_docs,
     term_doc_table,
 )
-from tesserae_ng_spark.index.encode import encode_shard_blocks
+from tesserae_ng_spark.index.encode import encode_blocks_local
 from tesserae_ng_spark.index.manifest import (
     all_manifests,
     partition_done,
@@ -111,7 +111,10 @@ def _write_shard(
     if not with_positions:
         td_dl = td_dl.withColumn("positions", F.lit(None).cast("binary"))
     blk_obs = Observation(f"blocks-{part}")
-    blocks = encode_shard_blocks(td_dl, block_size).observe(
+    # exchange-free stage A (encode_blocks_local): partition-local numpy
+    # sort + fragment encode; the only wide exchange in the whole build
+    # is stage B's (term, salt) merge, which moves compressed blocks
+    blocks = encode_blocks_local(td_dl, block_size=block_size).observe(
         blk_obs,
         F.count(F.lit(1)).alias("blocks"),
         # observe() forbids distinct aggregates; HLL is single-pass. The

@@ -264,6 +264,55 @@ def encode_batch_arrow(tbl, block_size: int = BLOCK_SIZE):
     )
 
 
+SHARDED_BLOCK_SCHEMA = T.StructType(
+    [T.StructField("shard", T.IntegerType(), False), *SHARD_BLOCK_SCHEMA.fields]
+)
+
+
+def encode_sharded_batch(tbl, block_size: int = BLOCK_SIZE):
+    """Arrow batch of complete (shard, term) groups → block rows + shard.
+
+    Thin fan-out over ``encode_batch_arrow``: slice the batch at shard
+    boundaries (a handful per batch — shards ≪ terms) and encode each
+    slice with the single-shard batch encoder, so the per-block bytes are
+    the same code path (and therefore byte-identical) as ``build_index``.
+    """
+    import pyarrow as pa
+
+    n = tbl.num_rows
+    if n == 0:
+        return None
+    shard = tbl.column("shard").combine_chunks().to_numpy(zero_copy_only=False)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = shard[1:] != shard[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    outs = []
+    for s, e in zip(starts, ends):
+        rb = encode_batch_arrow(tbl.slice(s, e - s), block_size)
+        if rb is None or rb.num_rows == 0:
+            continue
+        outs.append(
+            pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.full(rb.num_rows, shard[s], dtype=np.int32),
+                        pa.int32(),
+                    ),
+                    *rb.columns,
+                ],
+                names=["shard", *rb.schema.names],
+            )
+        )
+    if not outs:
+        return None
+    if len(outs) == 1:
+        return outs[0]
+    t = pa.Table.from_batches(outs).combine_chunks()
+    return t.to_batches()[0]
+
+
 def encode_shard_blocks(term_doc_dl: DataFrame, block_size: int = BLOCK_SIZE) -> DataFrame:
     """(term, doc_id, tf, dl, positions) → shard block rows.
 
@@ -274,7 +323,11 @@ def encode_shard_blocks(term_doc_dl: DataFrame, block_size: int = BLOCK_SIZE) ->
     term group, per block, or per row. A group straddling two Arrow
     batches is carried over (partition-sorted data keeps groups
     contiguous and within one partition), same contract as
-    index/grouped.py."""
+    index/grouped.py.
+
+    Kept as the exchange-based reference shape; the build now uses
+    ``encode_blocks_local`` (below), which produces fragmented-but-
+    equivalent block rows with NO exchange at all."""
     from tesserae_ng_spark.index.grouped import grouped_arrow_sorted
 
     return grouped_arrow_sorted(
@@ -284,3 +337,100 @@ def encode_shard_blocks(term_doc_dl: DataFrame, block_size: int = BLOCK_SIZE) ->
         SHARD_BLOCK_SCHEMA,
         sort_extra=("doc_id",),
     )
+
+
+def encode_blocks_local(
+    term_doc_dl: DataFrame,
+    block_size: int = BLOCK_SIZE,
+    shard_aware: bool = False,
+    max_buffer_rows: int = 2_000_000,
+) -> DataFrame:
+    """Partition-LOCAL block encode: ZERO exchange.
+
+    Why stage A needs no term shuffle: stage B (index/merge.py) fully
+    decodes, lexsorts, and re-encodes every (term, salt) group anyway —
+    block-grouping by term across partitions buys the final index
+    nothing. Stage A's only real job is COMPRESSING the rows the merge's
+    exchange will move. So: accumulate each input partition in the Arrow
+    worker, numpy-lexsort by (term, doc_id) (5-10x cheaper than the JVM
+    row sort, and the sort is the one build body that does NOT scale
+    with cores — tools/encode_probe.py: sort 0.70 eff vs encode 1.22 at
+    2→8 procs), then batch-encode per-partition term fragments. The
+    merge's (term, salt) exchange then moves delta+varint blocks instead
+    of raw posting rows (~3-5x fewer bytes), and the build has exactly
+    ONE wide exchange end to end.
+
+    Fragmentation is bounded and harmless: one block row per
+    (partition, term) per ``block_size`` docs; because fragments are
+    doc_id-sorted runs, their doc ranges stay tight, so the merge's
+    salt-straddle routing stays ~1 salt per fragment even for head
+    terms. Final index bytes are IDENTICAL to the exchange-based path
+    (the merge's output is invariant to input block fragmentation —
+    pinned in tests/test_merge_arrow.py and tests/test_build_e2e.py).
+
+    ``max_buffer_rows`` bounds the per-worker accumulation (first-touch
+    arena cost on lazily-backed VMs — same lesson as
+    grouped_arrow_sorted(max_rows)); a larger partition is encoded in
+    several sorted chunks, which only adds fragments.
+
+    ``shard_aware=True`` (fused sharded build): rows carry a ``shard``
+    column; the local sort keys on (shard, term, doc_id) and the output
+    prepends the shard column.
+    """
+    sort_fn = _sorted_shard_table if shard_aware else _sorted_term_table
+    enc = encode_sharded_batch if shard_aware else encode_batch_arrow
+    schema = SHARDED_BLOCK_SCHEMA if shard_aware else SHARD_BLOCK_SCHEMA
+
+    def runner(batches):
+        import pyarrow as pa
+
+        buf, rows = [], 0
+
+        def flush():
+            nonlocal buf, rows
+            if not rows:
+                return
+            t = (
+                pa.concat_tables(
+                    [pa.Table.from_batches([b]) for b in buf]
+                ).combine_chunks()
+                if len(buf) > 1
+                else pa.Table.from_batches([buf[0]])
+            )
+            buf, rows = [], 0
+            rb = enc(sort_fn(t), block_size)
+            if rb is not None and rb.num_rows:
+                yield rb
+
+        for rb in batches:
+            buf.append(rb)
+            rows += rb.num_rows
+            if rows >= max_buffer_rows:
+                yield from flush()
+        yield from flush()
+
+    return term_doc_dl.mapInArrow(runner, schema)
+
+
+def _sorted_term_table(t):
+    """Stable in-worker sort by (term, doc_id) via numpy lexsort over
+    C-side dictionary codes (term group ORDER is first-appearance — the
+    merge re-groups by hash, so only contiguity matters)."""
+    t = t.combine_chunks()
+    codes = (
+        t.column("term").combine_chunks().dictionary_encode().indices
+        .to_numpy(zero_copy_only=False)
+    )
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    return t.take(np.lexsort((ids, codes)))
+
+
+def _sorted_shard_table(t):
+    t = t.combine_chunks()
+    codes = (
+        t.column("term").combine_chunks().dictionary_encode().indices
+        .to_numpy(zero_copy_only=False)
+    )
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    shards = t.column("shard").to_numpy(zero_copy_only=False)
+    return t.take(np.lexsort((ids, codes, shards)))

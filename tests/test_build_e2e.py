@@ -91,3 +91,52 @@ def test_build_and_bm25(spark, corpus):
 
     # absent term → empty result
     assert bm25_topk_oracle(td, ["zzzznotaterm"], 10, n_docs, avg_dl).count() == 0
+
+
+def test_merged_postings_invariant_to_stage_a_fragmentation(spark, corpus):
+    """The build's exchange-free stage A (encode_blocks_local) emits
+    per-partition term FRAGMENTS instead of complete term groups; the
+    final index must be byte-identical to the exchange-based stage A
+    (encode_shard_blocks) because the merge fully decodes, lexsorts and
+    re-blocks every (term, salt) group — this is the invariance the
+    one-exchange build topology rests on."""
+    from tesserae_ng_spark.index.build import prepare_docs, term_doc_table
+    from tesserae_ng_spark.index.encode import (
+        encode_blocks_local,
+        encode_shard_blocks,
+    )
+    from tesserae_ng_spark.index.merge import merge_shard_blocks
+
+    prepared = prepare_docs(corpus).persist()
+    td = term_doc_table(prepared)
+    n_docs = prepared.count()
+    avg_dl = prepared.agg(F.avg("dl")).collect()[0][0]
+
+    def final_rows(stage_a):
+        out = merge_shard_blocks(
+            stage_a, n_docs=n_docs, avg_dl=avg_dl,
+            target_postings_per_salt=64, block_size=16,
+        ).collect()
+        return sorted(
+            (
+                r["term"], r["salt"], r["block_id"], r["n_docs"],
+                r["block_first_doc"], r["block_last_doc"],
+                r["block_max_score"], r["block_max_tf"], r["block_min_dl"],
+                bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["dls"]),
+                bytes(r["positions"]) if r["positions"] is not None else None,
+            )
+            for r in out
+        )
+
+    frag = final_rows(encode_blocks_local(td, block_size=16))
+    grouped = final_rows(encode_shard_blocks(td, block_size=16))
+    prepared.unpersist()
+    assert len(frag) > 50
+    assert frag == grouped
+
+    # tiny buffer cap → maximal fragmentation (several sorted chunks per
+    # partition) — still the same final index
+    tiny = final_rows(
+        encode_blocks_local(td, block_size=16, max_buffer_rows=64)
+    )
+    assert tiny == frag

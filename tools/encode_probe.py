@@ -1,0 +1,119 @@
+"""Spark-free 2-vs-8-process control for the BUILD encode (reduce) phase.
+
+The scaling profile (tools/profile_build.py) shows the encode stage —
+shuffle fetch → JVM partition sort by (term, doc_id) → mapInArrow
+varint block encode → parquet write — scaling ~2.5x from local[2] to
+local[8] while the analysis phase scales ~3.3x. This probe isolates the
+PYTHON body (encode_batch_arrow over 64k-row Arrow slices, the runner's
+batch shape) and, separately, a numpy stand-in for the partition sort
+(lexsort of (term_code, doc_id)), each at 2 and 8 share-nothing
+processes over identical synthetic Zipf postings.
+
+Reading it: per-process work is identical, so any efficiency below 1.0
+is the box's memory hierarchy (LLC share / DRAM), not the engine. If
+the Python encode body scales well but the in-Spark stage does not, the
+JVM side (shuffle fetch + row sort) is the non-scaling part.
+
+Usage: python tools/encode_probe.py [rows_per_proc]  → one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _make_postings(n: int, seed: int = 7):
+    """Sorted (term, doc_id, tf, dl, positions) Arrow table, Zipf terms
+    over a 12k vocab — the bench index's dictionary shape."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    vocab = 12_000
+    codes = (rng.zipf(1.3, size=n) - 1) % vocab
+    doc_ids = rng.integers(-(2**62), 2**62, size=n, dtype=np.int64)
+    order = np.lexsort((doc_ids, codes))
+    codes, doc_ids = codes[order], doc_ids[order]
+    tfs = rng.integers(1, 6, size=n, dtype=np.int64)
+    dls = rng.integers(40, 400, size=n, dtype=np.int64)
+    terms = pa.array([f"t{c:05d}" for c in codes], pa.string())
+    pos_one = bytes([3, 5, 7])
+    positions = pa.array([pos_one] * n, pa.binary())
+    return pa.table(
+        {
+            "term": terms,
+            "doc_id": pa.array(doc_ids),
+            "tf": pa.array(tfs),
+            "dl": pa.array(dls),
+            "positions": positions,
+        }
+    ), codes, doc_ids
+
+
+def _worker(args):
+    n, seed = args
+    import numpy as np
+
+    from tesserae_ng_spark.index.encode import encode_batch_arrow
+
+    tbl, codes, doc_ids = _make_postings(n, seed)
+    # warm-up outside the timed windows
+    encode_batch_arrow(tbl.slice(0, 65536))
+    shuf = np.lexsort((doc_ids[::-1].copy(), codes[::-1].copy()))
+
+    t0 = time.time()
+    out_rows = 0
+    step = 65536
+    for s in range(0, n, step):
+        rb = encode_batch_arrow(tbl.slice(s, min(step, n - s)))
+        if rb is not None:
+            out_rows += rb.num_rows
+    t_encode = time.time() - t0
+
+    # sort stand-in: unsorted copy -> full-partition lexsort + gather
+    rev_codes = codes[::-1].copy()
+    rev_ids = doc_ids[::-1].copy()
+    t0 = time.time()
+    order = np.lexsort((rev_ids, rev_codes))
+    _ = rev_codes[order], rev_ids[order]
+    t_sort = time.time() - t0
+    return n, t_encode, t_sort, out_rows, int(shuf[0])
+
+
+def _run_level(nproc: int, rows: int):
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(nproc) as pool:
+        res = pool.map(_worker, [(rows, 7 + i) for i in range(nproc)])
+    enc = sum(n for n, *_ in res) / max(t for _, t, *_ in res)
+    srt = sum(n for n, *_ in res) / max(t for _, _, t, *_ in res)
+    return round(enc / 1e6, 3), round(srt / 1e6, 3)
+
+
+def main():
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    e2, s2 = _run_level(2, rows)
+    e8, s8 = _run_level(8, rows)
+    print(
+        json.dumps(
+            {
+                "rows_per_proc": rows,
+                "encode_Mrows_s_2proc": e2,
+                "encode_Mrows_s_8proc": e8,
+                "encode_eff_2_to_8": round((e8 / e2) / 4.0, 3),
+                "sort_Mrows_s_2proc": s2,
+                "sort_Mrows_s_8proc": s8,
+                "sort_eff_2_to_8": round((s8 / s2) / 4.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
