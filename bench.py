@@ -137,8 +137,6 @@ def main():
     # decode bytes ≈ one index pass at ANY cluster size, unlike N workers
     # each decoding the full union index). This is the deployment whose
     # N→4N query scaling the protocol grades.
-    from pyspark.sql import functions as F
-
     from tesserae_ng_spark.query.sharded import search_sharded
 
     # SPARK_GRAFT_KEEP_SHARDS=1 (scaling protocol): shard indexes are a
@@ -154,28 +152,25 @@ def main():
     n_shards = int(os.environ.get("SPARK_GRAFT_NSHARDS", "8"))
     shard_dirs = [f"{idx_dir}_shard{i}" for i in range(n_shards)]
     t0 = time.time()
+    # one-pass fused sharded build (index/sharded_build.py): analysis runs
+    # once over the corpus and fans out to all shard dirs; per-shard
+    # output is pinned identical to N independent build_index runs
+    # (which previously cost ~3x one union build over the same docs)
+    if not (
+        keep_shards
+        and all(os.path.exists(f"{sd}/stats.json") for sd in shard_dirs)
+    ):
+        from tesserae_ng_spark.index.sharded_build import build_sharded_indexes
 
-    def build_shard(i: int) -> None:
-        sd = shard_dirs[i]
-        if keep_shards and os.path.exists(f"{sd}/stats.json"):
-            return
-        shutil.rmtree(sd, ignore_errors=True)
-        build_index(
+        for sd in shard_dirs:
+            shutil.rmtree(sd, ignore_errors=True)
+        build_sharded_indexes(
             spark,
-            corpus.filter(F.pmod(F.xxhash64("url"), F.lit(n_shards)) == i),
-            sd,
-            n_parts=1,
+            corpus,
+            shard_dirs,
             target_postings_per_salt=1 << 14,
             n_buckets=4,
         )
-
-    # shard builds are independent Spark jobs over disjoint doc sets: run
-    # them concurrently (Spark's scheduler interleaves jobs from multiple
-    # driver threads) — sequential builds left most cores idle per job
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=min(4, n_shards)) as ex:
-        list(ex.map(build_shard, range(n_shards)))
     timings["build_shards"] = time.time() - t0
     corpus.unpersist()
     # the sharded rows are the GRADED production query shape: serve them

@@ -44,8 +44,8 @@ def _make_postings(n: int, seed: int = 7):
     tfs = rng.integers(1, 6, size=n, dtype=np.int64)
     dls = rng.integers(40, 400, size=n, dtype=np.int64)
     terms = pa.array([f"t{c:05d}" for c in codes], pa.string())
-    pos_one = bytes([3, 5, 7])
-    positions = pa.array([pos_one] * n, pa.binary())
+    # positions stream = exactly tf single-byte varints per posting
+    positions = pa.array([b"\x05" * int(t) for t in tfs], pa.binary())
     return pa.table(
         {
             "term": terms,
@@ -60,8 +60,10 @@ def _make_postings(n: int, seed: int = 7):
 def _worker(args):
     n, seed = args
     import numpy as np
+    import pyarrow as pa
 
     from tesserae_ng_spark.index.encode import encode_batch_arrow
+    from tesserae_ng_spark.index.merge import merge_batch_arrow
 
     tbl, codes, doc_ids = _make_postings(n, seed)
     # warm-up outside the timed windows
@@ -71,10 +73,12 @@ def _worker(args):
     t0 = time.time()
     out_rows = 0
     step = 65536
+    blocks = []
     for s in range(0, n, step):
         rb = encode_batch_arrow(tbl.slice(s, min(step, n - s)))
         if rb is not None:
             out_rows += rb.num_rows
+            blocks.append(rb)
     t_encode = time.time() - t0
 
     # sort stand-in: unsorted copy -> full-partition lexsort + gather
@@ -84,22 +88,41 @@ def _worker(args):
     order = np.lexsort((rev_ids, rev_codes))
     _ = rev_codes[order], rev_ids[order]
     t_sort = time.time() - t0
-    return n, t_encode, t_sort, out_rows, int(shuf[0])
+
+    # merge body: decode + lexsort + score + re-encode the block rows
+    # (stage B's per-batch work), chunked like the real merge
+    bt = pa.Table.from_batches(blocks).combine_chunks()
+    bt = bt.append_column("salt", pa.array(np.zeros(bt.num_rows, np.int32)))
+    bt = bt.append_column("nsalt", pa.array(np.ones(bt.num_rows, np.int32)))
+    bt = bt.append_column(
+        "df", pa.array(np.full(bt.num_rows, 1000, np.int64))
+    )
+    bt = bt.append_column(
+        "cf", pa.array(np.full(bt.num_rows, 2000, np.int64))
+    )
+    merge_batch_arrow(bt.slice(0, 256), 5e5, 120.0)  # warm-up
+    t0 = time.time()
+    for s in range(0, bt.num_rows, 1536):
+        merge_batch_arrow(bt.slice(s, min(1536, bt.num_rows - s)), 5e5, 120.0)
+    t_merge = time.time() - t0
+    return n, t_encode, t_sort, t_merge, out_rows, int(shuf[0])
 
 
 def _run_level(nproc: int, rows: int):
     ctx = mp.get_context("spawn")
     with ctx.Pool(nproc) as pool:
         res = pool.map(_worker, [(rows, 7 + i) for i in range(nproc)])
-    enc = sum(n for n, *_ in res) / max(t for _, t, *_ in res)
-    srt = sum(n for n, *_ in res) / max(t for _, _, t, *_ in res)
-    return round(enc / 1e6, 3), round(srt / 1e6, 3)
+    total = sum(n for n, *_ in res)
+    enc = total / max(t for _, t, *_ in res)
+    srt = total / max(t for _, _, t, *_ in res)
+    mrg = total / max(t for _, _, _, t, *_ in res)
+    return round(enc / 1e6, 3), round(srt / 1e6, 3), round(mrg / 1e6, 3)
 
 
 def main():
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    e2, s2 = _run_level(2, rows)
-    e8, s8 = _run_level(8, rows)
+    e2, s2, m2 = _run_level(2, rows)
+    e8, s8, m8 = _run_level(8, rows)
     print(
         json.dumps(
             {
@@ -110,6 +133,9 @@ def main():
                 "sort_Mrows_s_2proc": s2,
                 "sort_Mrows_s_8proc": s8,
                 "sort_eff_2_to_8": round((s8 / s2) / 4.0, 3),
+                "merge_Mrows_s_2proc": m2,
+                "merge_Mrows_s_8proc": m8,
+                "merge_eff_2_to_8": round((m8 / m2) / 4.0, 3),
             }
         )
     )

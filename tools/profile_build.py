@@ -35,7 +35,7 @@ def main():
     )
     spark.sparkContext.setLogLevel("INFO")
     corpus = synthesize_corpus(
-        spark, sf_dir, replicas=96, enrich_vocab=True
+        spark, sf_dir, replicas=int(os.environ.get("SPARK_GRAFT_REPLICAS", "96")), enrich_vocab=True
     ).persist()
     n = corpus.count()
     shutil.rmtree(out, ignore_errors=True)

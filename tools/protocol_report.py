@@ -38,6 +38,8 @@ def grade(path: str) -> dict:
     with open(path) as f:
         for line in f:
             r = json.loads(line)
+            if r.get("warmup"):
+                continue  # discarded warm-up pair, archived but ungraded
             by[r["cpus"]].append(r)
     out = {"tag": os.path.splitext(os.path.basename(path))[0],
            "attempts": {c: len(rs) for c, rs in by.items()}}
