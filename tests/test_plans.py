@@ -57,9 +57,10 @@ def test_global_sort_limit_is_take_ordered(spark, sf_dir, registry):
 
 
 def test_build_has_no_token_level_shuffle(spark, corpus):
-    """The stage-A plan's only wide exchange keys on term (block encoding);
-    token-granular rows never cross a shuffle (document-at-a-time indexing).
-    asof window + applyInPandas grouping = exactly 2-3 exchanges total."""
+    """The legacy exchange-based stage A's only wide exchange keys on term
+    (block encoding); token-granular rows never cross a shuffle
+    (document-at-a-time indexing). asof window + term grouping = 1-2
+    exchanges total (the production path is pinned tighter below)."""
     from tesserae_ng_spark.index.build import prepare_docs, term_doc_table
     from tesserae_ng_spark.index.encode import encode_shard_blocks
 
@@ -82,6 +83,32 @@ def test_build_has_no_token_level_shuffle(spark, corpus):
     # Arrow-native grouped encoder: partition-sorted MapInArrow
     # (grouped.py grouped_arrow_sorted) — per-batch cost, zero per-row
     # Python objects, not per-term-group plumbing
+    assert "MapInArrow" in plan
+
+
+def test_production_stage_a_is_exchange_free(spark, corpus):
+    """The PRODUCTION stage A (encode_blocks_local, used by build_index)
+    adds ZERO exchanges of its own: each partition lexsorts and encodes
+    its own fragments in the Arrow worker, so the build's one wide
+    exchange is the merge's (term, salt) shuffle of compressed blocks.
+    The asof dedup window upstream of term_doc_table is the only
+    exchange allowed in this plan."""
+    from tesserae_ng_spark.index.build import prepare_docs, term_doc_table
+    from tesserae_ng_spark.index.encode import encode_blocks_local
+
+    import re
+
+    td = term_doc_table(prepare_docs(corpus))
+    blocks = encode_blocks_local(td)
+    plan = explain_str(blocks)
+    tree = plan.split("\n\n")[0]
+    cut = tree.find("InMemoryRelation")
+    live = tree[: cut if cut != -1 else len(tree)]
+    n_exchanges = len(re.findall(r"Exchange \(\d+\)", live))
+    # ≤1: the upstream asof-dedup window only (0 when the cache manager
+    # substitutes an earlier test's cached prepared subtree); stage A
+    # itself must add none — no term/salt/range partitioning here
+    assert n_exchanges <= 1, f"n_exchanges={n_exchanges}\n{tree[:4000]}"
     assert "MapInArrow" in plan
 
 
