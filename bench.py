@@ -77,6 +77,26 @@ def main():
     out_json["n_terms"] = res.n_terms
     out_json["n_blocks"] = res.n_blocks
 
+    # SPARK_GRAFT_BUILD_ONLY=1 (saturation probe, tools/saturation_probe.py):
+    # stop after the build so a concurrent memory-bandwidth probe can
+    # sample exactly the build window and the JSON line is build-only
+    if os.environ.get("SPARK_GRAFT_BUILD_ONLY") == "1":
+        print(
+            json.dumps(
+                {
+                    "metric": "index-build only",
+                    "value": round(timings["build_index"], 3),
+                    "unit": "sec",
+                    "queries": {"build_index": round(timings["build_index"], 3)},
+                    "sf": sf,
+                    "cpus": cpus,
+                    **out_json,
+                }
+            )
+        )
+        spark.stop()
+        return
+
     # --- query set ----------------------------------------------------------
     import duckdb
 

@@ -179,6 +179,12 @@ def build_sharded_indexes(
                 blocks = encode_blocks_local(
                     td, block_size=block_size, shard_aware=True
                 )
+                # schemas captured from the DataFrames (not read-back):
+                # an ALL-empty corpus (0 docs, or every doc filtered out)
+                # writes no data files at all, so a read-back would raise
+                # "unable to infer schema" before any per-shard handling
+                docs_schema = docs_table(prepared).schema
+                posts_schema = blocks.drop("shard").schema
                 (
                     blocks.write.mode("overwrite")
                     .partitionBy("shard")
@@ -189,35 +195,43 @@ def build_sharded_indexes(
 
             # per-shard manifest metrics from one grouped pass over each
             # staging table (the independent path collects the same
-            # numbers via Observations on its per-shard write jobs)
-            dmet = {
-                r["shard"]: r
-                for r in spark.read.parquet(f"{staging}/docs")
-                .groupBy("shard")
-                .agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.sum("dl").alias("tokens"),
+            # numbers via Observations on its per-shard write jobs).
+            # A partitionBy write of 0 rows emits no shard dirs — guard
+            # the read-back so the all-empty corpus degrades to empty
+            # metrics instead of an AnalysisException.
+            def _has_parts(root: str) -> bool:
+                return os.path.isdir(root) and any(
+                    e.startswith("shard=") for e in os.listdir(root)
                 )
-                .collect()
-            }
-            bmet = {
-                r["shard"]: r
-                for r in spark.read.parquet(f"{staging}/postings")
-                .groupBy("shard")
-                .agg(
-                    F.count(F.lit(1)).alias("blocks"),
-                    F.approx_count_distinct("term").alias("terms"),
-                    F.sum(F.crc32(F.col("doc_ids"))).alias("crc"),
-                )
-                .collect()
-            }
-            # capture schemas BEFORE the moves drain the staging dirs —
-            # an empty shard needs them to synthesize a 0-row table
-            docs_schema = (
-                spark.read.parquet(f"{staging}/docs").drop("shard").schema
+
+            dmet = (
+                {
+                    r["shard"]: r
+                    for r in spark.read.parquet(f"{staging}/docs")
+                    .groupBy("shard")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_docs"),
+                        F.sum("dl").alias("tokens"),
+                    )
+                    .collect()
+                }
+                if _has_parts(f"{staging}/docs")
+                else {}
             )
-            posts_schema = (
-                spark.read.parquet(f"{staging}/postings").drop("shard").schema
+            bmet = (
+                {
+                    r["shard"]: r
+                    for r in spark.read.parquet(f"{staging}/postings")
+                    .groupBy("shard")
+                    .agg(
+                        F.count(F.lit(1)).alias("blocks"),
+                        F.approx_count_distinct("term").alias("terms"),
+                        F.sum(F.crc32(F.col("doc_ids"))).alias("crc"),
+                    )
+                    .collect()
+                }
+                if _has_parts(f"{staging}/postings")
+                else {}
             )
             for i, sd in enumerate(out_dirs):
                 if not _move_partition(

@@ -198,13 +198,19 @@ class PositionOverflow(Exception):
     tokens in one doc); callers fall back to the per-doc path."""
 
 
-def _row_pos_keys(decoded, idxs, n_common):
+def _row_pos_keys(decoded, idxs, n_common, margin=0):
     """Per term: pack (common-row, position) into one sortable int64 key.
     Rows (not raw doc ids — those span the full int64 range) make the
     packing safe: row < n_common, pos < 2^21. Positions gather out of the
     flat array with one vectorized fancy-index — no per-doc objects.
     Raises PositionOverflow when any position won't fit the key budget
-    (otherwise position bits would silently corrupt row bits)."""
+    minus ``margin`` (otherwise position bits would silently corrupt row
+    bits). Callers pass margin = query arity so that the ±i offset
+    arithmetic in _phrase_rows_vectorized can neither overflow a position
+    into the next row's bits (pos + i ≥ 2^21) NOR let an underflowed
+    start key (keys[j0] - j0 borrowing from the row bits when pos < j0)
+    collide with a legal term-0 key — a wrapped key carries position
+    bits ≥ 2^21 - arity, which no accepted key has."""
     from tesserae_ng_spark.index.codec import expand_segment_values
 
     keys = []
@@ -221,9 +227,10 @@ def _row_pos_keys(decoded, idxs, n_common):
             pos_offs[sel] - run_starts, run_starts, total
         ) + np.arange(total, dtype=np.int64)
         pos_sel = pos_flat[gather].astype(np.int64)
-        if pos_sel.size and int(pos_sel.max()) >= int(_ROW_SHIFT):
+        cap = int(_ROW_SHIFT) - int(margin)
+        if pos_sel.size and int(pos_sel.max()) >= cap:
             raise PositionOverflow(
-                f"position {int(pos_sel.max())} >= {int(_ROW_SHIFT)}"
+                f"position {int(pos_sel.max())} >= {cap}"
             )
         keys.append(rows * _ROW_SHIFT + pos_sel)
     return keys
@@ -278,7 +285,8 @@ def _phrase_rows_vectorized(keys: list[np.ndarray]):
     # phrase that replaces an O(head-positions) first pass with an
     # O(tail-positions) one. Underflowed starts (occurrence index < j0,
     # so the packed key slips into the previous row) can never survive:
-    # j0 != 0 means term 0 is probed at +0, and keys are nonnegative.
+    # the _row_pos_keys margin guard rejects positions ≥ 2^21 - arity, so
+    # a wrapped key's position bits (≥ 2^21 - j0) match no accepted key.
     order = sorted(range(len(keys)), key=lambda j: keys[j].size)
     j0 = order[0]
     cur = keys[j0] - j0
@@ -458,7 +466,9 @@ def phrase_match_arrays(ordered_tps: list[TermPostings]):
         return _EMPTY3
     decoded, idxs, common = got
     try:
-        keys = _row_pos_keys(decoded, idxs, common.size)
+        keys = _row_pos_keys(
+            decoded, idxs, common.size, margin=len(ordered_tps)
+        )
         rows, tfs = _phrase_rows_vectorized(keys)
         if rows.size == 0:
             return _EMPTY3
@@ -504,7 +514,7 @@ def proximity_match_arrays(tps: list[TermPostings], window: int):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     decoded, idxs, common = got
     try:
-        keys = _row_pos_keys(decoded, idxs, common.size)
+        keys = _row_pos_keys(decoded, idxs, common.size, margin=len(tps))
     except PositionOverflow:
         keys = None  # pathological docs → per-doc path below
     if keys is not None:

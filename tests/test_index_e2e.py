@@ -329,3 +329,26 @@ def test_warm_top_terms(spark, corpus, index_dir):
     assert [(h.doc_id, round(h.score, 12)) for h in got2] == [
         (h.doc_id, round(h.score, 12)) for h in lazy.search(q, k=10)
     ]
+
+
+def test_warm_top_terms_arrow_fallback_same_selection(index_dir):
+    """VERDICT r5 #4: the web-scale (unpinned-dictionary) warmer path must
+    choose the SAME head terms as the pinned path without materializing
+    the vocabulary as Python objects (Arrow sort_indices + prefix cut).
+    Pinned vs fallback selection identity is checked at several budgets,
+    including one too small for even the top term (still takes 1)."""
+    from tesserae_ng_spark.query.reader import IndexReader
+
+    pinned = IndexReader(index_dir)
+    assert pinned._dict_cache is not None
+    fallback = IndexReader(index_dir, dict_pin_max_terms=0)
+    assert fallback._dict_cache is None
+    for budget_mb in (1e-9, 0.001, 0.01, 64.0):
+        a = pinned.warm_top_terms(budget_mb)
+        b = fallback.warm_top_terms(budget_mb)
+        assert a == b, budget_mb
+        assert b["terms"] >= 1
+    # tiny budget selects exactly the single highest-df term
+    top = max(pinned._dict_cache.values(), key=lambda r: (r["df"], r["term"]))
+    assert fallback.warm_top_terms(1e-9)["terms"] == 1
+    assert fallback.lookup([top["term"]])  # and it is fetchable

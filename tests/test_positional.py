@@ -200,6 +200,37 @@ def test_position_overflow_falls_back_to_per_doc():
     assert got_prox == {1, 2}
 
 
+def test_phrase_underflow_at_position_cap_boundary():
+    """ADVICE r5: a legal term-0 occurrence at position 2^21 - 1 must not
+    validate an underflowed phrase-start key (keys[j0] - j0 borrowing row
+    bits when the smallest term sits at position < j0 in the NEXT common
+    row). The tightened margin guard (reject positions >= 2^21 - arity)
+    routes such near-cap docs to the per-doc fallback instead."""
+    from tesserae_ng_spark.query.search import _ROW_SHIFT
+
+    cap = int(_ROW_SHIFT)
+    docs_pos = {
+        1: {"a": [100, cap - 1], "b": [10]},  # no "a b" phrase
+        2: {"a": [50], "b": [0]},             # b at pos 0 → underflow bait
+        3: {"a": [3], "b": [4]},              # real "a b" at 3
+    }
+    postings = {
+        t: [
+            (d, len(per[t]), sum(len(v) for v in per.values()), per[t])
+            for d, per in docs_pos.items()
+            if t in per
+        ]
+        for t in ("a", "b")
+    }
+    n, avg = 3, 4.0
+    tps = {
+        t: build_term_postings(t, ps, n, avg, block_size=4)
+        for t, ps in postings.items()
+    }
+    got = {d for d, _ in phrase_topk([tps["a"], tps["b"]], n, avg, k=10)}
+    assert got == {3}
+
+
 def test_candidate_positions_sparse_and_bulk_match_full_decode():
     """candidate_positions must return exactly the same (tfs, dls,
     positions) as slicing the full decode, on BOTH its paths: the sparse

@@ -252,3 +252,20 @@ def test_batch_scorer_integration_identical(spark, indexes):
     got_s = rows(search_sharded(spark, shard_dirs, queries, k=10,
                                 use_batch_scorer=True))
     assert got_s == base_s
+
+
+def test_batch_scorer_env_flag_parsing(monkeypatch):
+    """TNG_BATCH_SCORER env parsing (the `use_batch_scorer=None` default
+    resolves through this on each executor; the integration test above
+    forces the same branch via the explicit param because env mutations
+    in a live test session don't reach already-forked python workers)."""
+    from tesserae_ng_spark.query.search import _use_batch_scorer
+
+    for val, want in [
+        ("1", True), ("true", True), ("YES", True), (" on ", True),
+        ("0", False), ("off", False), ("", False), ("no", False),
+    ]:
+        monkeypatch.setenv("TNG_BATCH_SCORER", val)
+        assert _use_batch_scorer() is want, val
+    monkeypatch.delenv("TNG_BATCH_SCORER")
+    assert _use_batch_scorer() is False

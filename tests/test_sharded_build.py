@@ -115,6 +115,24 @@ def test_fused_resume_skips_stage_a(spark, corpus, fused):
     assert all(r.n_docs == f.n_docs for r, f in zip(results, first))
 
 
+def test_fused_all_empty_corpus(spark, corpus, tmp_path_factory):
+    # ADVICE r5: a corpus where EVERY doc is filtered out writes zero
+    # data files in the partitionBy staging step — the build must not
+    # crash on schema inference and must emit N valid 0-doc indexes
+    empty = corpus.filter(F.lit(False))
+    n = 3
+    base = tmp_path_factory.mktemp("fusedallempty")
+    dirs = [str(base / f"s{i}") for i in range(n)]
+    results = build_sharded_indexes(spark, empty, dirs, **KW)
+    assert len(results) == n
+    assert all(r.n_docs == 0 for r in results)
+    for d in dirs:
+        s = Searcher(d)
+        assert s.search("join hash", k=5, mode="bm25") == []
+    queries = [dict(query_id=0, query_text="join hash", mode="bm25", k=5)]
+    assert search_sharded(spark, dirs, queries, k=5).collect() == []
+
+
 def test_fused_empty_shard(spark, corpus, tmp_path_factory):
     # more shards than docs → some shards are empty; they must still come
     # out as valid (0-doc) indexes and not break the sharded query path

@@ -1,22 +1,15 @@
-"""Two-cluster-size scaling protocol (BASELINE.md).
-
-A real multi-node cluster is unavailable in-sandbox; per the driver
-instruction the N→4N executor criterion is evidenced by running the SAME
-job at two parallelism levels on the same input:
+"""Two-cluster-size scaling protocol — implements the AUTHORITATIVE
+protocol statement in BASELINE.md §"Two-cluster-size protocol" (levels,
+interleaving, warm-up, median grading rule, pass criteria all defined
+there; this file and BENCH/BASELINE.md both defer to it).
 
     N  = local[2]    4N = local[8]
-
-Why 2 vs 8 and not 8 vs 32: this VM has 32 real cores but the pipeline's
-Arrow/pandas stages saturate MEMORY BANDWIDTH well before 32 threads (a
-register-bound burn loop scales to 32x; the pipeline plateaus ~8x) -- a
-single-box artifact that a real 4N-executor cluster, with 4x the memory
-channels, does not have. 2->8 cores measures genuine pipeline scaling
-below the bandwidth wall; the 8->32 plateau is documented alongside.
 
 Each level runs bench.py in a fresh process (fresh JVM — no warm-cache
 bleed) via spark-submit --py-files (the deployment mode pinned by
 BASELINE.json north_rule). Writes BENCH/BASELINE.md with throughput at
-both levels and efficiency = (thr_4N/thr_N) / 4 per metric.
+both levels and efficiency = (thr_4N/thr_N) / 4 per metric, graded on
+per-level medians over interleaved attempts.
 
 Usage: python tools/bench_scaling.py [sf_dir]
 """
@@ -87,7 +80,11 @@ def main():
     # between consecutive identical runs), so running all of one level then
     # all of the other correlates mood with level and poisons the ratio;
     # alternating gives both levels the same mood exposure.
-    attempts = int(os.environ.get("SPARK_GRAFT_ATTEMPTS", "3"))
+    # 5 attempts/level (VERDICT r5 #7: with 3, the sharded-warm row's
+    # byte-identical-code spread was 0.498-0.764 across runs — wide enough
+    # to flip pass/fail on noise; 5 tightens the median and the per-level
+    # spread is disclosed below so the reader can judge residual noise)
+    attempts = int(os.environ.get("SPARK_GRAFT_ATTEMPTS", "5"))
     # one DISCARDED warm-up pair first: consecutive attempts on this host
     # warm systematically (page cache for the index dirs under /tmp, fs
     # allocation, kernel state — measured 141→112→85 s local[2] build
@@ -107,7 +104,7 @@ def main():
             print(json.dumps(runs_by[cpus][-1]), file=sys.stderr)
     # archive raw attempts for this protocol run (full disclosure)
     run_tag = os.environ.get("SPARK_GRAFT_RUN_TAG", "run")
-    arch = os.path.join(REPO, "BENCH", "protocol_runs_r5")
+    arch = os.path.join(REPO, "BENCH", "protocol_runs_r6")
     os.makedirs(arch, exist_ok=True)
     with open(os.path.join(arch, f"{run_tag}.jsonl"), "w") as f:
         for c in (2, 8):
@@ -129,10 +126,14 @@ def main():
         """GRADED per-metric MEDIAN across same-level attempts (ADVICE r4:
         best-of-N with numerator and denominator cherry-picked from
         different attempts can overstate efficiency). Best-of-N stays in
-        the output as disclosed supplementary data only."""
-        a = _median([r[metric] for r in runs_by[2]])
-        b = _median([r[metric] for r in runs_by[8]])
-        return a, b, (b / a) / 4.0
+        the output as disclosed supplementary data only. The 4th element
+        is the per-level max/min spread (VERDICT r5 #7: disclose residual
+        noise so a pass/fail near the bar can be judged against it)."""
+        xs2 = [r[metric] for r in runs_by[2]]
+        xs8 = [r[metric] for r in runs_by[8]]
+        a, b = _median(xs2), _median(xs8)
+        spread = (max(xs2) / min(xs2), max(xs8) / min(xs8))
+        return a, b, (b / a) / 4.0, spread
 
     def eff_best(metric: str) -> float:
         a = max(r[metric] for r in runs_by[2])
@@ -189,13 +190,13 @@ def main():
         "from different attempts can overstate efficiency); best-of-N "
         "efficiency is disclosed as supplementary in parentheses.",
         "",
-        "| metric | local[2] (N) median | local[8] (4N) median | scaling efficiency (best-of-N) |",
-        "|---|---|---|---|",
-        f"| index build (docs/sec) | {build[0]} | {build[1]} | **{build[2]:.3f}** ({eff_best('docs_per_sec'):.3f}) |",
-        f"| sharded-batch query, warm steady state, {nlarge} q over {shards[0]}/{shards[1]} doc-shards (q/s) | {qshard_w[0]} | {qshard_w[1]} | **{qshard_w[2]:.3f}** ({eff_best('queries_per_sec_sharded_warm'):.3f}) |",
-        f"| sharded-batch query, cold executors (q/s) | {qshard[0]} | {qshard[1]} | {qshard[2]:.3f} ({eff_best('queries_per_sec_sharded'):.3f}) |",
-        f"| union-index batch query throughput, {nlarge} q (q/s) | {qlarge[0]} | {qlarge[1]} | {qlarge[2]:.3f} |",
-        f"| reference-batch query throughput, 60 q (q/s) | {qbatch[0]} | {qbatch[1]} | {qbatch[2]:.3f} |",
+        "| metric | local[2] (N) median | local[8] (4N) median | scaling efficiency (best-of-N) | spread max/min @2, @8 |",
+        "|---|---|---|---|---|",
+        f"| index build (docs/sec) | {build[0]} | {build[1]} | **{build[2]:.3f}** ({eff_best('docs_per_sec'):.3f}) | {build[3][0]:.2f}×, {build[3][1]:.2f}× |",
+        f"| sharded-batch query, warm steady state, {nlarge} q over {shards[0]}/{shards[1]} doc-shards (q/s) | {qshard_w[0]} | {qshard_w[1]} | **{qshard_w[2]:.3f}** ({eff_best('queries_per_sec_sharded_warm'):.3f}) | {qshard_w[3][0]:.2f}×, {qshard_w[3][1]:.2f}× |",
+        f"| sharded-batch query, cold executors (q/s) | {qshard[0]} | {qshard[1]} | {qshard[2]:.3f} ({eff_best('queries_per_sec_sharded'):.3f}) | {qshard[3][0]:.2f}×, {qshard[3][1]:.2f}× |",
+        f"| union-index batch query throughput, {nlarge} q (q/s) | {qlarge[0]} | {qlarge[1]} | {qlarge[2]:.3f} | {qlarge[3][0]:.2f}×, {qlarge[3][1]:.2f}× |",
+        f"| reference-batch query throughput, 60 q (q/s) | {qbatch[0]} | {qbatch[1]} | {qbatch[2]:.3f} | {qbatch[3][0]:.2f}×, {qbatch[3][1]:.2f}× |",
         f"| single-query p50 (ms) | {levels[2]['p50_ms']} | {levels[8]['p50_ms']} | — (latency, driver-side) |",
         f"| single-query p99 (ms) | {levels[2]['p99_ms']} | {levels[8]['p99_ms']} | — |",
         f"| single-thread qps | {levels[2]['single_qps']} | {levels[8]['single_qps']} | — |",
