@@ -36,6 +36,11 @@ def main():
     out_json = {}
     timings = {}
 
+    # scratch to tmpfs BEFORE the session exists (see build section note:
+    # this sandbox's disk sustains ~6 MB/s; tmpfs keeps the bench on the
+    # engine, not the virtio throttle)
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/tng_spark_local")
+
     from tesserae_ng_spark.session import get_spark
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
@@ -48,7 +53,10 @@ def main():
     registry = load_all()
 
     # --- build -------------------------------------------------------------
-    idx_dir = os.environ.get("SPARK_GRAFT_IDX", f"/tmp/tesserae_bench_idx_{sf}_{cpus}")
+    # index defaults to tmpfs for the same reason as the scratch dir
+    idx_dir = os.environ.get(
+        "SPARK_GRAFT_IDX", f"/dev/shm/tesserae_bench_idx_{sf}_{cpus}"
+    )
     shutil.rmtree(idx_dir, ignore_errors=True)
     # amplify deterministically so 32 cores have real work (5k base docs at
     # sf0.1); replicas repeat docs under distinct urls — seeded, no RNG

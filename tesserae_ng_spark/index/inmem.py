@@ -17,7 +17,7 @@ from tesserae_ng_spark.index.codec import (
     encode_positions,
     varint_encode,
 )
-from tesserae_ng_spark.query.reader import Block, TermPostings
+from tesserae_ng_spark.query.reader import TermPostings
 from tesserae_ng_spark.schemas import BLOCK_SIZE, BM25_B, BM25_K1
 
 
@@ -38,35 +38,31 @@ def build_term_postings(
     dls = np.array([p[2] for p in postings], dtype=np.int64)
     pos = [np.asarray(p[3], dtype=np.int64) for p in postings] if len(postings[0]) > 3 else None
     scores = idf * tfs / (tfs + k1 * (1.0 - b + b * dls / avg_dl))
-    blocks = []
     cf = int(tfs.sum())
-    for bi, start in enumerate(range(0, ids.size, block_size)):
-        sl = slice(start, min(start + block_size, ids.size))
-        blocks.append(
-            Block(
-                block_id=bi,
-                n_docs=int(ids[sl].size),
-                first_doc=int(ids[sl][0]),
-                last_doc=int(ids[sl][-1]),
-                max_score=float(scores[sl].max()),
-                max_tf=int(tfs[sl].max()),
-                min_dl=int(dls[sl].min()),
-                _doc_ids=delta_encode_ids(ids[sl]),
-                _tfs=varint_encode(tfs[sl].astype(np.uint64)),
-                _dls=varint_encode(dls[sl].astype(np.uint64)),
-                _positions=(
-                    encode_positions(pos[sl.start : sl.stop], tfs[sl])
-                    if pos is not None
-                    else None
-                ),
-            )
+    starts = np.arange(0, ids.size, block_size, dtype=np.int64)
+    ends = np.minimum(starts + block_size, ids.size)
+    ids_b, tfs_b, dls_b, pos_b = [], [], [], []
+    for start, end in zip(starts, ends):
+        sl = slice(int(start), int(end))
+        ids_b.append(delta_encode_ids(ids[sl]))
+        tfs_b.append(varint_encode(tfs[sl].astype(np.uint64)))
+        dls_b.append(varint_encode(dls[sl].astype(np.uint64)))
+        pos_b.append(
+            encode_positions(pos[sl.start:sl.stop], tfs[sl])
+            if pos is not None
+            else None
         )
     return TermPostings(
-        term=term,
-        df=df,
-        cf=cf,
-        max_score=float(scores.max()),
-        blocks=blocks,
+        term, df, cf, float(scores.max()),
+        blk_salt=np.zeros(starts.size, dtype=np.int64),
+        blk_id=np.arange(starts.size, dtype=np.int64),
+        blk_n_docs=ends - starts,
+        blk_first=ids[starts],
+        blk_last=ids[ends - 1],
+        blk_max_score=np.maximum.reduceat(scores, starts),
+        blk_max_tf=np.maximum.reduceat(tfs, starts),
+        blk_min_dl=np.minimum.reduceat(dls, starts),
+        payloads=(ids_b, tfs_b, dls_b, pos_b),
     )
 
 

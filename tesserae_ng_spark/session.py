@@ -42,6 +42,16 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.executorEnv.TNG_MALLOC_TUNE", tune_env)
     )
+    # SPARK_GRAFT_LOCAL_DIR: shuffle/spill scratch location. Round-6 note:
+    # this sandbox's block device sustains ~6 MB/s writes (measured,
+    # BENCH/BASELINE.md "host disk" section) — two orders of magnitude
+    # below round-5's host — so benchmarks route scratch + index dirs to
+    # tmpfs to keep measuring the ENGINE rather than a throttled virtio
+    # disk. Production writes go to object storage whose bandwidth scales
+    # with the cluster.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

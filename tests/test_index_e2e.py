@@ -152,22 +152,22 @@ def test_lazy_payload_skipped_blocks_never_read(index_dir, monkeypatch):
     made WAND skipping pointless at GB-scale postings). Segment readahead
     is shrunk so the 28-block test term doesn't fit one window."""
     from tesserae_ng_spark.query import reader as reader_mod
-    from tesserae_ng_spark.query.reader import _UNLOADED, IndexReader
+    from tesserae_ng_spark.query.reader import IndexReader
     from tesserae_ng_spark.query.wand import bm25_dense_topk, wand_topk
 
     monkeypatch.setattr(reader_mod, "PAYLOAD_SEGMENT_BLOCKS", 4)
     r = IndexReader(index_dir)
     fetched = r.fetch(["the"])  # head term: every doc → many 16-doc blocks
     tp = fetched["the"]
-    total = len(tp.blocks)
+    total = tp.n_blocks
     assert total > 8
     assert r.payload_blocks_loaded == 0, "fetch() must not read payloads"
 
-    tp.blocks[0].decode()  # land on the first block only
+    tp.decode_block(0)  # land on the first block only
     assert 0 < r.payload_blocks_loaded <= 4, "readahead window exceeded"
-    assert all(
-        blk._doc_ids is _UNLOADED for blk in tp.blocks[4:]
-    ), "blocks beyond the landed segment were materialized"
+    assert tp._ids_miss[
+        4:
+    ].all(), "blocks beyond the landed segment were materialized"
 
     # WAND through the lazy reader == dense through an eager reader
     fetched = r.fetch(["the", "window"])
@@ -175,7 +175,7 @@ def test_lazy_payload_skipped_blocks_never_read(index_dir, monkeypatch):
     r2 = IndexReader(index_dir)
     f2 = r2.fetch(["the", "window"])
     r2.ensure_payloads(f2.values())
-    assert f2["the"].blocks[0]._doc_ids is not _UNLOADED
+    assert not f2["the"]._ids_miss[0]
     assert got == bm25_dense_topk(f2, r2.n_docs, r2.avg_dl, 3)
 
 
@@ -188,30 +188,27 @@ def test_payload_scan_selection_is_tight(index_dir, monkeypatch):
     from tesserae_ng_spark.query import reader as reader_mod
     from tesserae_ng_spark.query.reader import IndexReader
 
+    import numpy as np
+
     monkeypatch.setattr(reader_mod, "PAYLOAD_SEGMENT_BLOCKS", 4)
     r = IndexReader(index_dir)
     tp = r.fetch(["the"])["the"]
-    salts = {blk.salt for blk in tp.blocks}
-    assert len(salts) > 1, "fixture must span multiple salts"
+    salts, first_idx = np.unique(tp.blk_salt, return_index=True)
+    assert salts.size > 1, "fixture must span multiple salts"
     # demand one block from EACH salt in a single non-segment load: the
     # old cross product would scan |salts| × |distinct block ids| rows
-    first_per_salt = {}
-    for blk in tp.blocks:
-        first_per_salt.setdefault(blk.salt, blk)
-    want = list(first_per_salt.values())
     before = r.payload_rows_scanned
-    tp.ensure_payloads(want)
-    assert r.payload_rows_scanned - before == len(want)
+    tp.ensure_payloads(first_idx)
+    assert r.payload_rows_scanned - before == first_idx.size
     # segment readahead: the scan returns exactly the windowed blocks
-    tail = [blk for blk in tp.blocks if blk._doc_ids is reader_mod._UNLOADED]
-    assert tail, "some blocks must remain unloaded"
+    tail = np.flatnonzero(tp._ids_miss)
+    assert tail.size, "some blocks must remain unloaded"
     before = r.payload_rows_scanned
-    tp.ensure_payloads([tail[0]], segment=True)
-    loaded_now = [
-        blk for blk in tail if blk._doc_ids is not reader_mod._UNLOADED
-    ]
-    assert r.payload_rows_scanned - before == len(loaded_now)
-    assert 0 < len(loaded_now) <= 4
+    was_missing = tp._ids_miss.copy()
+    tp.ensure_payloads(tail[:1], segment=True)
+    loaded_now = int((was_missing & ~tp._ids_miss).sum())
+    assert r.payload_rows_scanned - before == loaded_now
+    assert 0 < loaded_now <= 4
 
 
 def test_dictionary_pushdown_fallback_matches_pinned(index_dir):

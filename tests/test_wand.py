@@ -182,9 +182,8 @@ def test_wand_stats_free_raises_without_metadata():
     corpus = {d: {"a": 1 + d % 3} for d in range(20)}
     dls = {d: sum(t.values()) for d, t in corpus.items()}
     tps, n, avg = make_index(corpus, dls, 4)
-    for blk in tps["a"].blocks:  # simulate a pre-v2 index
-        blk.max_tf = None
-        blk.min_dl = None
+    tps["a"].blk_max_tf = None  # simulate a pre-v2 index
+    tps["a"].blk_min_dl = None
     import pytest
 
     with pytest.raises(StatsFreeBoundsUnavailable):

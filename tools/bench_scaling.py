@@ -47,7 +47,7 @@ def run_level(cpus: int, sf_dir: str, zpath: str) -> dict:
         SPARK_GRAFT_KEEP_SHARDS="1",
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_CPUS=str(cpus),
-        SPARK_GRAFT_IDX=f"/tmp/tesserae_scale_idx_{cpus}",
+        SPARK_GRAFT_IDX=f"/dev/shm/tesserae_scale_idx_{cpus}",
         # enough parallel work that per-core throughput, not driver-side
         # job orchestration, decides the ratio (the efficiency criterion
         # measures the distributed pipeline, not JVM job-submission floors)
@@ -164,6 +164,7 @@ def main():
             return None
 
     probe = _probe("membw_probe.py")
+    host = _probe("host_probe.py")
     # per-executor-constant-resource controls of the BUILD's own bodies
     # (share-nothing processes = the real N→4N fleet shape)
     body_probe = _probe("encode_probe.py", "2000000")
@@ -189,6 +190,15 @@ def main():
         "attempts (ADVICE r4: best-of-N with numerator and denominator "
         "from different attempts can overstate efficiency); best-of-N "
         "efficiency is disclosed as supplementary in parentheses.",
+        "",
+        "**Host fingerprint** (tools/host_probe.py) — the sandbox box "
+        "CHANGES between rounds, so absolute numbers are not comparable "
+        "across rounds (round 5: 260 MiB L3, ~57 GiB/s 8-proc stream, "
+        "fast disk; round 6: 105 MiB L3, ~42 GiB/s, ~6 MB/s fsync disk — "
+        "which is why bench index/scratch dirs moved to tmpfs):",
+        "",
+        f"```json\n{json.dumps(host)}\n```" if host else
+        "(host probe unavailable this run)",
         "",
         "| metric | local[2] (N) median | local[8] (4N) median | scaling efficiency (best-of-N) | spread max/min @2, @8 |",
         "|---|---|---|---|---|",

@@ -165,7 +165,7 @@ def run_build(cpus: int, sf_dir: str, zpath: str, tag: str) -> dict:
         TNG_MALLOC_TUNE="1",
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_CPUS=str(cpus),
-        SPARK_GRAFT_IDX=f"/tmp/tesserae_sat_idx_{tag}",
+        SPARK_GRAFT_IDX=f"/dev/shm/tesserae_sat_idx_{tag}",
         SPARK_GRAFT_REPLICAS=os.environ.get("SPARK_GRAFT_REPLICAS", "96"),
         SPARK_GRAFT_NPARTS=os.environ.get("SPARK_GRAFT_NPARTS", "2"),
         SPARK_GRAFT_BUILD_ONLY="1",
