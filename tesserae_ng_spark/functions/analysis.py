@@ -204,6 +204,14 @@ def doc_vector(text: str | None, lang: str | None = "en",
 
 
 def doc_vector_udf_factory():
+    # NOTE (r6, VERDICT r5 #2 measured negative result): a fully
+    # batch-vectorized variant (tokens factorized C-side, Porter on
+    # distinct forms only, ONE lexsort for per-doc aggregation, ONE
+    # whole-batch varint encode) produced byte-identical rows but ran
+    # 0.91x the per-doc path at this corpus shape (~56 tokens/doc —
+    # numpy/pandas per-doc overheads exceed the per-token Python they
+    # remove; the Zipf stem memo already makes stemming ~free). Deleted
+    # rather than kept as dead code; see SURVEY §perf notes.
     @F.pandas_udf(DOC_VECTOR_STRUCT)
     def _doc_vec(text: pd.Series, lang: pd.Series) -> pd.DataFrame:
         memo: dict[str, str] = {}

@@ -61,6 +61,14 @@ _VOID = frozenset(
 
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>")
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+# raw-text closing-tag patterns, one per skip element — compiled once (the
+# per-occurrence re.compile inside the extract loop measured ~2 compiles
+# per doc on the profile)
+_RAW_CLOSE_RE = {
+    name: re.compile(rf"</{name}\s*>", re.IGNORECASE)
+    for name, raw in _SKIP_ELEMENTS.items()
+    if raw
+}
 
 
 def extract_text(html_bytes: bytes | bytearray | memoryview | None) -> str:
@@ -86,19 +94,20 @@ def extract_text(html_bytes: bytes | bytearray | memoryview | None) -> str:
         i = lt
         # Raw-text skip element: scan only for its literal closing tag.
         if skip_stack and _SKIP_ELEMENTS.get(skip_stack[-1], False):
-            name = skip_stack[-1]
-            m = re.compile(rf"</{name}\s*>", re.IGNORECASE).search(s, i)
+            m = _RAW_CLOSE_RE[skip_stack[-1]].search(s, i)
             if m is None:
                 break  # unclosed raw element: rest of doc is dropped
             skip_stack.pop()
             i = m.end()
             continue
-        # Comment / doctype / CDATA
-        if s.startswith("<!--", i):
-            m = _COMMENT_RE.match(s, i)
-            i = m.end() if m else n
-            continue
-        if s.startswith("<!", i) or s.startswith("<?", i):
+        # Comment / doctype / CDATA — dispatch on the char after '<'
+        # (cheaper than three startswith probes per tag)
+        nxt = s[i + 1] if i + 1 < n else ""
+        if nxt == "!" or nxt == "?":
+            if s.startswith("<!--", i):
+                m = _COMMENT_RE.match(s, i)
+                i = m.end() if m else n
+                continue
             gt = s.find(">", i)
             i = (gt + 1) if gt != -1 else n
             continue

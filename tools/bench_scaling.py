@@ -63,12 +63,23 @@ def run_level(cpus: int, sf_dir: str, zpath: str) -> dict:
         "--py-files", zpath,
         os.path.join(REPO, "bench.py"),
     ]
+    def _cpu_stat():
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:]]
+        return sum(v), (v[7] if len(v) > 7 else 0)
+
     t0 = time.time()
+    c0, s0 = _cpu_stat()
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
+    c1, s1 = _cpu_stat()
     wall = time.time() - t0
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     res = json.loads(line)
     res["_wall"] = wall
+    # hypervisor CPU steal over the attempt window (round-6 host shows
+    # 2-3× wall swings between byte-identical runs; steal% tells whether
+    # an outlier was the box, not the engine)
+    res["_steal_pct"] = round(100.0 * (s1 - s0) / max(c1 - c0, 1), 2)
     return res
 
 
@@ -199,6 +210,13 @@ def main():
         "",
         f"```json\n{json.dumps(host)}\n```" if host else
         "(host probe unavailable this run)",
+        "",
+        "Direct DRAM-saturation evidence (concurrent-probe residual "
+        "bandwidth, symmetric-steal control, bytes/doc accounting): see "
+        "`BENCH/SATURATION_r6.md` + `BENCH/saturation_r6.json` "
+        "(tools/saturation_probe.py, tools/bytes_per_doc.py). Raw "
+        "attempt lines below carry `_steal_pct` — hypervisor steal over "
+        "each attempt window.",
         "",
         "| metric | local[2] (N) median | local[8] (4N) median | scaling efficiency (best-of-N) | spread max/min @2, @8 |",
         "|---|---|---|---|---|",
