@@ -291,24 +291,31 @@ def _merge_all(
 
     t_merge = time.time()
     shard_blocks = spark.read.parquet(f"{out_dir}/shards/postings")
+    # the merge exchange partitions by the FINAL bucket (n_buckets), so
+    # its output is already in sink layout — complete term groups per
+    # partition, (term, salt, block_id)-ordered — and writes directly:
+    # one shuffle for the whole stage instead of the former two (the
+    # old path re-shuffled + re-sorted every final posting into buckets;
+    # round-6 profile showed that second JVM pass was ~half the phase)
     postings = merge_shard_blocks(
         shard_blocks,
         n_docs=n_docs,
         avg_dl=avg_dl,
         target_postings_per_salt=target_postings_per_salt,
         block_size=block_size,
+        n_buckets=n_buckets,
     )
     postings = postings.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
     )
-    # sort within partitions by term AND write small row groups: parquet
-    # min/max stats prune `term IN (...)` per row group, so a query reads
-    # ~its terms' bytes instead of decompressing a whole 128 MB default
-    # row group per bucket (measured: 86 s → sub-second cold fetch)
+    # small row groups: parquet min/max stats prune `term IN (...)` per
+    # row group, so a query reads ~its terms' bytes instead of
+    # decompressing a whole 128 MB default row group per bucket
+    # (measured: 86 s → sub-second cold fetch). Rows arrive term-
+    # clustered from the merge, so row-group stats stay tight without a
+    # sort here.
     (
-        postings.repartition(n_buckets, "bucket")
-        .sortWithinPartitions("term", "salt", "block_id")
-        .write.mode("overwrite")
+        postings.write.mode("overwrite")
         .option("parquet.block.size", 4 << 20)
         .partitionBy("bucket")
         .parquet(f"{out_dir}/postings")

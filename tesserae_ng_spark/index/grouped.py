@@ -19,6 +19,8 @@ index build is specified to use.
 
 from __future__ import annotations
 
+import os
+import time
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -133,6 +135,7 @@ def grouped_arrow_sorted(
     n_parts: int | None = None,
     sort_extra: tuple = (),
     max_rows: int | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Arrow-native grouped batch map: hash-partition by ``keys``,
     partition-sort by ``keys + sort_extra``, then ``mapInArrow`` where
@@ -151,9 +154,18 @@ def grouped_arrow_sorted(
     first touch of a multi-hundred-MB transient arena costs tens of
     seconds per worker — chunking bounds the peak while leaving
     steady-state reuse intact (a group larger than max_rows still goes
-    through whole, correctness over the bound)."""
+    through whole, correctness over the bound).
+
+    ``partition_cols`` overrides the exchange keys (default: ``keys``).
+    Use a COARSER function of the group keys (e.g. the final storage
+    bucket, a deterministic function of ``term``) to make this exchange
+    double as the sink's partitioning — the caller can then write the
+    output without a second shuffle. Every group must map to exactly one
+    partition_cols value (a function of a prefix of ``keys``), or groups
+    would straddle partitions and be emitted twice."""
     sc = df.sparkSession.sparkContext
-    rep = df.repartition(n_parts or sc.defaultParallelism, *keys)
+    rep = df.repartition(n_parts or sc.defaultParallelism,
+                         *(partition_cols or keys))
     rep = rep.sortWithinPartitions(*keys, *sort_extra)
     key_list = list(keys)
 
@@ -185,9 +197,30 @@ def grouped_arrow_sorted(
     def runner(batches):
         import pyarrow as pa
 
+        # TNG_GROUPED_PROFILE=1: per-task timing split (python body vs
+        # arrival gaps) to /tmp — diagnoses whether a slow grouped stage
+        # is inflated worker compute or JVM-side stall (shuffle fetch,
+        # upstream sort) starving the Arrow stream
+        prof = os.environ.get("TNG_GROUPED_PROFILE") == "1"
+        t_open = time.time()
+        body_s = 0.0
+        rows_in = 0
+        n_batches = 0
+
+        def _timed(t):
+            nonlocal body_s
+            t0 = time.time()
+            for out in _call_chunked(t):
+                body_s += time.time() - t0
+                yield out
+                t0 = time.time()
+            body_s += time.time() - t0
+
         carry = None
         for rb in batches:
             t = pa.Table.from_batches([rb])
+            n_batches += 1
+            rows_in += t.num_rows
             if carry is not None:
                 t = pa.concat_tables([carry, t])
                 carry = None
@@ -203,9 +236,21 @@ def grouped_arrow_sorted(
                 continue
             tail_len = int(eq_last.argmin())
             carry = t.slice(n - tail_len)
-            yield from _call_chunked(t.slice(0, n - tail_len))
+            yield from _timed(t.slice(0, n - tail_len))
         if carry is not None and carry.num_rows:
-            yield from _call_chunked(carry)
+            yield from _timed(carry)
+        if prof:
+            import json as _json
+
+            with open(
+                f"/tmp/tng_grouped_prof_{os.getpid()}_{int(time.time()*1000)}.json",
+                "w",
+            ) as f:
+                f.write(_json.dumps({
+                    "pid": os.getpid(), "wall_s": round(time.time() - t_open, 3),
+                    "body_s": round(body_s, 3), "rows_in": rows_in,
+                    "n_batches": n_batches,
+                }))
 
     return rep.mapInArrow(runner, schema)
 

@@ -77,8 +77,21 @@ def merge_shard_blocks(
     block_size: int = BLOCK_SIZE,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    n_buckets: int | None = None,
 ) -> DataFrame:
-    """shard block rows → final POSTINGS_SCHEMA rows (scored, re-blocked)."""
+    """shard block rows → final POSTINGS_SCHEMA rows (scored, re-blocked).
+
+    With ``n_buckets`` set, the merge exchange partitions by the FINAL
+    storage bucket ``pmod(xxhash64(term), n_buckets)`` instead of
+    (term, salt): the output is then already in sink layout — complete
+    term groups per partition, (term, salt, block_id)-ordered — so the
+    caller writes it directly with NO second shuffle and NO sort. The
+    round-6 grouped-stage profile motivated this: the Arrow merge body
+    is ~1.2 s/worker while the merge phase wall was 11-41 s, i.e. ~95%
+    of the phase was JVM-side — half of it the now-removed second
+    full shuffle + sort of the final postings. At cluster scale
+    ``n_buckets`` must grow with the cluster (it caps merge/write
+    parallelism); per-GROUP working sets stay salt-bounded either way."""
     term_stats = shard_blocks.groupBy("term").agg(
         F.sum("n_docs").alias("df"),
         F.sum("tf_sum").alias("cf"),
@@ -126,6 +139,16 @@ def merge_shard_blocks(
     # memory (memtune.py). ~1.5k rows ≈ 200k postings keeps the one-time
     # arena growth at a few MB-scale faults while batch amortization stays
     # intact (measured: stage 117 s → 9 s cold).
+    if n_buckets is not None:
+        routed = routed.withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+        )
+        return grouped_arrow_sorted(
+            routed, ["term", "salt"], merge_batch, POSTINGS_SCHEMA,
+            n_parts=n_buckets, partition_cols=["_bucket"],
+            max_rows=MERGE_BATCH_MAX_ROWS,
+        )
     return grouped_arrow_sorted(
         routed, ["term", "salt"], merge_batch, POSTINGS_SCHEMA,
         max_rows=MERGE_BATCH_MAX_ROWS,

@@ -687,8 +687,16 @@ def search_batch(
     )
 
     def run_part(qs):
+        import time as _time
+
+        # TNG_BATCH_PROFILE=1: per-slice stage timings to /tmp (round-6
+        # diagnosis of the in-suite local[8] slowdown) — off in production
+        _prof = os.environ.get("TNG_BATCH_PROFILE") == "1"
+        _t = {"t_start": _time.time()}
         qs = list(qs)
+        _t0 = _time.time()
         searcher = get_searcher(index_dir, lang)
+        _t["open_s"] = _time.time() - _t0
         bm25_qs = [q for q in qs if q.get("mode", "bm25") == "bm25"]
         other_qs = [q for q in qs if q.get("mode", "bm25") != "bm25"]
         done = set()
@@ -721,16 +729,37 @@ def search_batch(
                 # happened. Positions are never prefetched — positional
                 # queries load them candidate-only
                 # (TermPostings.candidate_positions).
+                _t0 = _time.time()
                 fetched = searcher.reader.fetch(sorted(terms))
+                _t["fetch_s"] = _time.time() - _t0
+                _t0 = _time.time()
                 searcher.reader.ensure_payloads(
                     fetched.values(), max_df=PREFETCH_MAX_DF
                 )
+                _t["payloads_s"] = _time.time() - _t0
+        _t0 = _time.time()
+        _qtimes = []
         for q in rest:
+            _q0 = _time.time()
             for hit in searcher.search(
                 q["query_text"], k=q.get("k", k), mode=q.get("mode", "bm25"),
                 window=q.get("window", 5),
             ):
                 yield (q["query_id"], hit.rank, hit.doc_id, hit.score)
+            _qtimes.append(round(_time.time() - _q0, 4))
+        if _prof:
+            import json as _json
+
+            _t["score_s"] = _time.time() - _t0
+            _t["n_queries"] = len(qs)
+            _t["pid"] = os.getpid()
+            _t["wall_s"] = _time.time() - _t["t_start"]
+            _t["q_times"] = _qtimes
+            with open(
+                f"/tmp/tng_batch_prof_{os.getpid()}_{int(_time.time()*1000)}.json",
+                "w",
+            ) as f:
+                f.write(_json.dumps({k2: v for k2, v in _t.items()}))
 
     rdd = sc.parallelize(queries, n_slices).mapPartitions(run_part)
     return spark.createDataFrame(
