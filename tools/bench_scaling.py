@@ -68,9 +68,24 @@ def run_level(cpus: int, sf_dir: str, zpath: str) -> dict:
             v = [int(x) for x in f.readline().split()[1:]]
         return sum(v), (v[7] if len(v) > 7 else 0)
 
+    # concurrent host-speed probe (tools/spin_probe.py): this host
+    # throttles 40× in ways steal% does NOT see (measured — see
+    # BENCH/BASELINE.md "host noise"), so each attempt records an
+    # independent trace of how fast the box actually was in its window
+    probe_file = f"/tmp/tng_spin_probe_{cpus}_{int(time.time())}.jsonl"
+    probe_proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "spin_probe.py"), probe_file],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
     t0 = time.time()
     c0, s0 = _cpu_stat()
-    out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
+    try:
+        out = subprocess.run(
+            cmd, env=env, capture_output=True, text=True, timeout=3600
+        )
+    finally:
+        probe_proc.terminate()
+        probe_proc.wait()
     c1, s1 = _cpu_stat()
     wall = time.time() - t0
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -80,6 +95,20 @@ def run_level(cpus: int, sf_dir: str, zpath: str) -> dict:
     # 2-3× wall swings between byte-identical runs; steal% tells whether
     # an outlier was the box, not the engine)
     res["_steal_pct"] = round(100.0 * (s1 - s0) / max(c1 - c0, 1), 2)
+    try:
+        with open(probe_file) as f:
+            ms = sorted(json.loads(l)["ms"] for l in f if l.strip())
+        os.unlink(probe_file)
+        if ms:
+            res["_probe"] = {
+                "n": len(ms),
+                "min_ms": ms[0],
+                "med_ms": ms[len(ms) // 2],
+                "p90_ms": ms[int(len(ms) * 0.9)],
+                "max_ms": ms[-1],
+            }
+    except Exception:
+        pass
     return res
 
 
