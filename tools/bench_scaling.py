@@ -235,10 +235,12 @@ def main():
         "efficiency is disclosed as supplementary in parentheses.",
         "",
         "**Host fingerprint** (tools/host_probe.py) — the sandbox box "
-        "CHANGES between rounds, so absolute numbers are not comparable "
-        "across rounds (round 5: 260 MiB L3, ~57 GiB/s 8-proc stream, "
-        "fast disk; round 6: 105 MiB L3, ~42 GiB/s, ~6 MB/s fsync disk — "
-        "which is why bench index/scratch dirs moved to tmpfs):",
+        "CHANGES between rounds AND between windows, so absolute numbers "
+        "are not comparable across rounds (round 5: 260 MiB L3, ~57 GiB/s "
+        "8-proc stream; round 6: 105 MiB L3, ~42 GiB/s; the block device "
+        "measured ~6 MB/s sustained fsync in early round-6 windows — why "
+        "bench index/scratch dirs moved to tmpfs — but hundreds of MB/s "
+        "in others; the JSON below is the protocol-time measurement):",
         "",
         f"```json\n{json.dumps(host)}\n```" if host else
         "(host probe unavailable this run)",
@@ -301,11 +303,17 @@ def main():
         "injected bandwidth thief does not slow the build (0.995), and",
         "the measured 24-29 KB/doc of materialized flows implies ~0.1",
         "GiB/s — 0.3% of the ceiling (BENCH/SATURATION_r6.md). The build",
-        "is COMPUTE-bound; the remaining suspect for occupancy-dependent",
-        "ratio loss is hypervisor steal / effective-frequency behavior,",
-        "which the per-attempt `_steal_pct` in the raw lines below now",
-        "measures directly. We do not slow the 2-core baseline to win",
-        "the ratio.",
+        "is COMPUTE-bound. Host steal is also excluded when the",
+        "per-attempt traces are quiet: each raw line below carries",
+        "`_steal_pct` AND `_probe` (a concurrent fixed-workload spin,",
+        "tools/spin_probe.py) — when both are flat across levels, the",
+        "residual gap is real engine behavior on this box: the parts",
+        "phase runs ~0.70 efficient 2→8 IN Spark while the identical",
+        "analysis bodies in share-nothing processes run ≥1.0 (table",
+        "below), i.e. the loss sits in the shared-JVM layer (one",
+        "driver JVM scheduling 8 Python workers, Arrow IPC, task",
+        "serialization), which a real N→4N cluster does not share.",
+        "We do not slow the 2-core baseline to win the ratio.",
         "",
         "Share-nothing process controls of the build's OWN bodies (the",
         "real N→4N fleet shape — each executor node keeps its own",
