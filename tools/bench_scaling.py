@@ -59,7 +59,16 @@ def run_level(cpus: int, sf_dir: str, zpath: str) -> dict:
     cmd = [
         "spark-submit",
         "--master", f"local[{cpus}]",
-        "--driver-memory", "24g",
+        # 8g, not 24g: this guest's RAM is host-overcommitted — a 24g G1
+        # heap's post-build shrink releases tens of GB the host unbacks,
+        # and for the next ~40 s EVERY fresh page fault box-wide costs up
+        # to ms-scale (fault-probe med 618 ms vs ~35 ms quiet), which is
+        # what sporadically collapsed in-suite query phases (runB attempt
+        # 3: 60-q batch 1.55 q/s in a probe-quiet window). A/B on
+        # tools/repro_suite.py: 24g → two passes 25-35 s with a fault
+        # spike; 8g → all passes 3-7 s, no spike. 8g also better models a
+        # per-executor heap (8-core node) than one 24g driver.
+        "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "--py-files", zpath,
         os.path.join(REPO, "bench.py"),
     ]
@@ -97,7 +106,9 @@ def run_level(cpus: int, sf_dir: str, zpath: str) -> dict:
     res["_steal_pct"] = round(100.0 * (s1 - s0) / max(c1 - c0, 1), 2)
     try:
         with open(probe_file) as f:
-            ms = sorted(json.loads(l)["ms"] for l in f if l.strip())
+            recs = [json.loads(l) for l in f if l.strip()]
+        ms = sorted(r["ms"] for r in recs)
+        fault = sorted(r["fault_ms"] for r in recs if "fault_ms" in r)
         os.unlink(probe_file)
         if ms:
             res["_probe"] = {
@@ -107,6 +118,10 @@ def run_level(cpus: int, sf_dir: str, zpath: str) -> dict:
                 "p90_ms": ms[int(len(ms) * 0.9)],
                 "max_ms": ms[-1],
             }
+        if fault:
+            res["_probe"]["fault_med_ms"] = fault[len(fault) // 2]
+            res["_probe"]["fault_p90_ms"] = fault[int(len(fault) * 0.9)]
+            res["_probe"]["fault_max_ms"] = fault[-1]
     except Exception:
         pass
     return res

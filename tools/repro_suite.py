@@ -55,8 +55,14 @@ def main():
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(cpus * 4))
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory", os.environ.get("TNG_DRIVER_MEM", "24g"))
     )
+    # TNG_DRIVER_JAVA_OPTS: A/B the driver JVM flags (e.g. -Xms24g to pin
+    # the heap committed — G1 heap uncommit on this lazily-backed guest
+    # turns later refaults into 100-400 us/page stalls, see BENCH notes)
+    jopts = os.environ.get("TNG_DRIVER_JAVA_OPTS")
+    if jopts:
+        b = b.config("spark.driver.extraJavaOptions", jopts)
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
         b = b.config("spark.local.dir", local_dir)

@@ -18,6 +18,7 @@ Each line: {"t": epoch_s, "ms": sample_duration_ms}
 """
 
 import json
+import mmap
 import sys
 import time
 
@@ -33,7 +34,21 @@ def main():
             t0 = time.perf_counter()
             np.sort(a, kind="quicksort")
             ms = (time.perf_counter() - t0) * 1000.0
-            f.write(json.dumps({"t": round(time.time(), 2), "ms": round(ms, 2)}) + "\n")
+            # second, INDEPENDENT axis: page-fault backing speed. The CPU
+            # spin runs on a preallocated array and stays quiet in windows
+            # where allocation-heavy phases (cold decode, merges, fresh
+            # searcher arenas) collapse — this host intermittently slows
+            # FIRST-TOUCH faults (lazily-backed guest memory), not cycles.
+            # Fresh 32 MB mapping, touch one byte per page, unmap:
+            # ~30 ms quiet, ~700 ms at the 85 us/page pathology (r5 note).
+            t0 = time.perf_counter()
+            m = mmap.mmap(-1, 32 << 20)
+            for off in range(0, 32 << 20, 4096):
+                m[off] = 1
+            m.close()
+            fault_ms = (time.perf_counter() - t0) * 1000.0
+            f.write(json.dumps({"t": round(time.time(), 2), "ms": round(ms, 2),
+                                "fault_ms": round(fault_ms, 2)}) + "\n")
             time.sleep(1.0)
 
 
