@@ -382,14 +382,26 @@ def encode_blocks_local(
     schema = SHARDED_BLOCK_SCHEMA if shard_aware else SHARD_BLOCK_SCHEMA
 
     def runner(batches):
+        import os as _os
+        import time as _time
+
         import pyarrow as pa
+
+        # TNG_GROUPED_PROFILE=1: same split as grouped_arrow_sorted —
+        # encode body vs arrival gaps (arrival here includes the whole
+        # pipelined upstream: scan, analysis UDF, JVM feed)
+        prof = _os.environ.get("TNG_GROUPED_PROFILE") == "1"
+        t_open = _time.time()
+        body_s = 0.0
+        rows_in = 0
 
         buf, rows = [], 0
 
         def flush():
-            nonlocal buf, rows
+            nonlocal buf, rows, body_s
             if not rows:
                 return
+            t0 = _time.time()
             t = (
                 pa.concat_tables(
                     [pa.Table.from_batches([b]) for b in buf]
@@ -399,15 +411,29 @@ def encode_blocks_local(
             )
             buf, rows = [], 0
             rb = enc(sort_fn(t), block_size)
+            body_s += _time.time() - t0
             if rb is not None and rb.num_rows:
                 yield rb
 
         for rb in batches:
             buf.append(rb)
             rows += rb.num_rows
+            rows_in += rb.num_rows
             if rows >= max_buffer_rows:
                 yield from flush()
         yield from flush()
+        if prof:
+            import json as _json
+
+            with open(
+                f"/tmp/tng_encode_prof_{_os.getpid()}_{int(_time.time()*1000)}.json",
+                "w",
+            ) as f:
+                f.write(_json.dumps({
+                    "pid": _os.getpid(),
+                    "wall_s": round(_time.time() - t_open, 3),
+                    "body_s": round(body_s, 3), "rows_in": rows_in,
+                }))
 
     return term_doc_dl.mapInArrow(runner, schema)
 
