@@ -37,7 +37,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # 8g default (was 24g): on hosts that overcommit guest RAM, an
+        # oversized G1 heap's commit/uncommit cycling puts the BOX into
+        # fault-stall windows (measured: post-build shrink of a 24g heap
+        # → 20-100× slower page faults box-wide for ~40 s, sporadically
+        # collapsing query phases; BENCH/BASELINE.md round-6 A/B). Size
+        # the heap to the work — SPARK_DRIVER_MEM overrides.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.executorEnv.TNG_MALLOC_TUNE", tune_env)
