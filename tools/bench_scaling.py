@@ -237,6 +237,46 @@ def main():
             for line in f:
                 r = json.loads(line)
                 r4_build[r["cpus"]].append(r["docs_per_sec"])
+    # cross-run comparison: re-grade every archived round-6 protocol run
+    # with the same median rule so the report always carries the full
+    # history (a regenerated report must not lose prior runs' evidence)
+    def _grade_archive(path):
+        by = {2: [], 8: []}
+        probes = {2: [], 8: []}
+        with open(path) as f:
+            for line in f:
+                r = json.loads(line)
+                if r.get("warmup"):
+                    continue
+                by[r["cpus"]].append(r)
+                p = r.get("_probe") or {}
+                if p.get("med_ms") is not None:
+                    probes[r["cpus"]].append(p["med_ms"])
+        if not by[2] or not by[8]:
+            return None
+        def m_eff(metric):
+            a = _median([r[metric] for r in by[2]])
+            b = _median([r[metric] for r in by[8]])
+            return (b / a) / 4.0
+        qb8 = [r["queries_per_sec"] for r in by[8]]
+        return {
+            "build": round(m_eff("docs_per_sec"), 3),
+            "shardw": round(m_eff("queries_per_sec_sharded_warm"), 3),
+            "qb8_spread": round(max(qb8) / min(qb8), 2),
+            "probed": bool(probes[2] or probes[8]),
+            "n": (len(by[2]), len(by[8])),
+        }
+
+    cross_rows = []
+    for p in sorted(_glob.glob(os.path.join(arch, "*.jsonl"))):
+        g = _grade_archive(p)
+        if g:
+            cross_rows.append(
+                f"| {os.path.basename(p)[:-6]} | {g['build']} | {g['shardw']} | "
+                f"{g['qb8_spread']}× | {'yes' if g['probed'] else 'no'} | "
+                f"{g['n'][0]}+{g['n'][1]} |"
+            )
+
     lines = [
         "# BENCH — measured baseline (two-parallelism scaling protocol)",
         "",
@@ -410,6 +450,23 @@ def main():
         "re-runs can ANTI-scale (re-run slices land on workers the first",
         "run never warmed) — artifacts of tiny batches, absent at",
         "production batch sizes.",
+        "",
+        "## Round-6 protocol runs (every archive re-graded, same median rule)",
+        "",
+        "runA predates the per-attempt probes (two of its three local[8]",
+        "windows were host-throttled invisibly — walls 455/477/196 s for",
+        "byte-identical work) and the one-exchange merge; runB added the",
+        "CPU spin probe and the merge fix; runC added the fault probe and",
+        "the 8g driver heap, which eliminated the sporadic in-suite 60-q",
+        "collapse (spread 11.15× → ~1.2×). The fault traces show the",
+        "remaining 2→8 asymmetry directly: fault p90 is 81-240 ms during",
+        "local[8] windows vs 34-45 ms during local[2] windows — 8-wide",
+        "concurrent fresh-page demand itself degrades this guest's page",
+        "backing, a tax four real nodes would not share.",
+        "",
+        "| run | build eff | sharded warm eff | 60-q spread @8 | probes | attempts |",
+        "|---|---|---|---|---|---|",
+    ] + cross_rows + [
         "",
         "Raw bench lines (ALL attempts, both levels — the table grades the",
         "per-metric median per level; full distribution disclosed, also",

@@ -48,7 +48,7 @@ def main():
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(cpus * 4))
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory", os.environ.get("TNG_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
     from tesserae_ng_spark.query.search import search_batch

@@ -55,7 +55,7 @@ def main():
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(cpus * 4))
-        .config("spark.driver.memory", os.environ.get("TNG_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", os.environ.get("TNG_DRIVER_MEM", "8g"))
     )
     # TNG_DRIVER_JAVA_OPTS: A/B the driver JVM flags (e.g. -Xms24g to pin
     # the heap committed — G1 heap uncommit on this lazily-backed guest
