@@ -53,10 +53,34 @@ def grade(path: str) -> dict:
     return out
 
 
+def grade_pooled(paths: list[str]) -> dict:
+    """BASELINE.md pooled-grading rule (round 6, VERDICT r5 #7): per-level
+    median POOLED over the graded attempts of several engine-identical
+    runs. Per-run medians stay disclosed next to it; this is the round's
+    graded number."""
+    by = {2: [], 8: []}
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                r = json.loads(line)
+                if r.get("warmup"):
+                    continue
+                by[r["cpus"]].append(r)
+    out = {"tags": [os.path.splitext(os.path.basename(p))[0] for p in paths],
+           "attempts": {c: len(rs) for c, rs in by.items()}}
+    for key, _ in GRADED:
+        a = _median([r[key] for r in by[2]])
+        b = _median([r[key] for r in by[8]])
+        out[key] = {"n": round(a, 2), "4n": round(b, 2),
+                    "eff": round((b / a) / 4.0, 3)}
+    return out
+
+
 def main():
     arch = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, "BENCH", "protocol_runs_r5"
     )
+    pool_tags = [t for t in sys.argv[2:]]  # e.g. runE runF: final-engine runs
     runs = [grade(p) for p in sorted(glob.glob(os.path.join(arch, "*.jsonl")))]
     if not runs:
         print(f"no archived runs under {arch}", file=sys.stderr)
@@ -87,6 +111,29 @@ def main():
         f"Build efficiencies in run order: {builds} → two consecutive "
         f"runs ≥ 0.8: {'**PASS**' if consec else '**FAIL**'}.",
     ]
+    if pool_tags:
+        paths = [os.path.join(arch, f"{t}.jsonl") for t in pool_tags]
+        p = grade_pooled(paths)
+        lines += [
+            "",
+            "### Pooled grading over the final-engine runs "
+            f"({', '.join(p['tags'])}) — the round's GRADED values",
+            "",
+            f"{p['attempts'][2]} attempts at local[2], {p['attempts'][8]} "
+            "at local[8], pooled per BASELINE.md's round-6 rule (stated "
+            "before these runs executed; no steal-based exclusion):",
+            "",
+            "| metric | local[2] pooled median | local[8] pooled median "
+            "| efficiency | ≥0.8 |",
+            "|---|---|---|---|---|",
+        ]
+        for key, label in GRADED:
+            g = p[key]
+            verdict = "**PASS**" if g["eff"] >= 0.8 else "**FAIL**"
+            lines.append(
+                f"| {label} | {g['n']} | {g['4n']} | **{g['eff']}** "
+                f"| {verdict} |"
+            )
     print("\n".join(lines))
 
 
