@@ -16,6 +16,8 @@ the global head-term problem is handled by the salted merge, not here.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -343,7 +345,7 @@ def encode_blocks_local(
     term_doc_dl: DataFrame,
     block_size: int = BLOCK_SIZE,
     shard_aware: bool = False,
-    max_buffer_rows: int = 2_000_000,
+    max_buffer_rows: int | None = None,
 ) -> DataFrame:
     """Partition-LOCAL block encode: ZERO exchange.
 
@@ -371,12 +373,23 @@ def encode_blocks_local(
     ``max_buffer_rows`` bounds the per-worker accumulation (first-touch
     arena cost on lazily-backed VMs — same lesson as
     grouped_arrow_sorted(max_rows)); a larger partition is encoded in
-    several sorted chunks, which only adds fragments.
+    several sorted chunks, which only adds fragments. Default 2M rows,
+    overridable via TNG_ENCODE_BUFFER_ROWS (read driver-side at plan
+    build): the buffer's lexsort working set (~24 B/row keys + index)
+    is the build's one non-streaming body, so the right size scales
+    with the per-core LLC share, not a constant — co-located workers
+    whose combined sort sets exceed the shared LLC go DRAM-random
+    (tools/encode_probe.py sort control). Fragmentation stays bounded
+    either way; final index bytes are invariant to the choice.
 
     ``shard_aware=True`` (fused sharded build): rows carry a ``shard``
     column; the local sort keys on (shard, term, doc_id) and the output
     prepends the shard column.
     """
+    if max_buffer_rows is None:
+        max_buffer_rows = int(
+            os.environ.get("TNG_ENCODE_BUFFER_ROWS", "2000000")
+        )
     sort_fn = _sorted_shard_table if shard_aware else _sorted_term_table
     enc = encode_sharded_batch if shard_aware else encode_batch_arrow
     schema = SHARDED_BLOCK_SCHEMA if shard_aware else SHARD_BLOCK_SCHEMA

@@ -362,10 +362,13 @@ def main():
         "per-attempt traces are quiet: each raw line below carries",
         "`_steal_pct` AND `_probe` (a concurrent fixed-workload spin,",
         "tools/spin_probe.py) — when both are flat across levels, the",
-        "residual gap is real engine behavior on this box: the parts",
-        "phase runs ~0.70 efficient 2→8 IN Spark while the identical",
-        "analysis bodies in share-nothing processes run ≥1.0 (table",
-        "below), i.e. the loss sits in the shared-JVM layer (one",
+        "residual gap is real engine behavior on this box. The same",
+        "bodies in share-nothing processes measure the efficiencies in",
+        "the table below (barrier-synced reps, allocator-tuned workers,",
+        "median-of-reps — tools/encode_probe.py docstring records why",
+        "the earlier single-unsynced-window probe swung 0.19-0.96 on",
+        "byte-identical bodies); the gap between a body's share-nothing",
+        "number and the in-Spark stage is the shared-JVM layer (one",
         "driver JVM scheduling 8 Python workers, Arrow IPC, task",
         "serialization), which a real N→4N cluster does not share.",
         "We do not slow the 2-core baseline to win the ratio.",
@@ -389,7 +392,7 @@ def main():
         "has no term that grows with cluster size (one wide exchange",
         "moving compressed blocks, exchange-free stage A, one-exchange",
         "merge in sink layout, salt-bounded merge groups, distributed",
-        "phase-1 stats). When the body controls scale ≥1.0 and the",
+        "phase-1 stats). Where the body controls scale near 1.0 and the",
         "attempt windows are probe-quiet, the residual 2→8 loss lives in",
         "what this box SHARES that a real N→4N cluster does not: one",
         "driver JVM scheduling all workers, one LLC, one memory system.",
