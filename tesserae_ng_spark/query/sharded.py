@@ -216,6 +216,94 @@ def _shard_query_rows(searcher, q, gs: dict, default_k: int):
         raise ValueError(f"unknown mode {mode!r}")
 
 
+def prime_shard_workers(
+    spark,
+    index_dirs: list[str],
+    queries: list[dict] | None = None,
+    terms: list[str] | None = None,
+    lang: str = "en",
+    n_tasks: int | None = None,
+) -> dict:
+    """Prime every executor python worker's searcher/postings caches for
+    every shard — the sharded-service analog of ``warm_top_terms`` (Solr
+    replica-warming semantics), run once at service start.
+
+    Why it exists (measured, tools/profile_sharded_warm.py): Spark assigns
+    tasks to its reusable python workers from an idle POOL with no
+    affinity, so a "warm" repeat batch only hits a worker's per-process
+    searcher cache when the lottery sends a shard's task back to a worker
+    that served that shard before. At local[2] each worker accumulates all
+    shards within a pass or two (hit rate → 8/8); at local[8] each worker
+    has seen ONE shard and a warm pass measured 0/8 hits — byte-identical
+    code, 2x the task wall (6.9 s vs 3.4 s), and the protocol's warm-row
+    spread (0.625 vs 0.833 across engine-identical runs) is exactly the
+    variance of that permutation. The steady state of a long-running
+    service (every worker has served every shard — coupon-collector
+    convergence, observed directly at local[2]) is the all-hit state;
+    this primitive reaches it deterministically in ONE wave instead of
+    ~n·ln(n) lottery passes.
+
+    Shape: ``n_tasks`` (default ``sc.defaultParallelism``) concurrent
+    tasks, each opening ALL shard searchers, prefetching the given terms'
+    postings (metadata + payloads under the same PREFETCH_MAX_DF cap the
+    query path uses — huge-df tails stay lazy), and EXECUTING the
+    positional (phrase/proximity) queries once per shard — Solr's
+    firstSearcher warming-queries semantics. The positional execution is
+    what matters: bm25's adaptive candidate-only decode showed no
+    measurable per-(worker, shard) miss penalty, but a positional query's
+    first run on a pair pays position-payload loads + per-block decode
+    that the reader then caches (``_pflat`` + ski-rental upgrades), worth
+    ~2x the task wall on this corpus. Memory: workers × shards cached
+    readers, each LRU-bounded; the W×S product is a local-mode / per-node
+    shape — at cluster scale an executor hosts its node's few shards, not
+    the fleet's (shard→executor locality does the global routing), so
+    priming stays per-node-sized. Returns {tasks, workers} — ``workers``
+    below ``tasks`` means the pool was larger than one wave and later
+    batches may still miss occasionally.
+    """
+    sc = spark.sparkContext
+    pos_qs = [
+        q for q in (queries or []) if q.get("mode", "bm25") != "bm25"
+    ]
+    if terms is None:
+        tset: set[str] = set()
+        for q in queries or []:
+            tset.update(analyze_query(q["query_text"], lang))
+        terms = sorted(tset)
+    dirs = list(index_dirs)
+    n = int(n_tasks or sc.defaultParallelism)
+
+    def prime(_):
+        from tesserae_ng_spark.query.search import (
+            PREFETCH_MAX_DF,
+            get_searcher,
+        )
+
+        for d in dirs:
+            s = get_searcher(d, lang)
+            if terms:
+                fetched = s.reader.fetch(terms)
+                s.reader.ensure_payloads(
+                    fetched.values(), max_df=PREFETCH_MAX_DF
+                )
+            for q in pos_qs:
+                # warming query: shard-local stats are fine — the decode
+                # work (position payload loads, per-block flat caches,
+                # ski-rental full upgrades) is stats-independent
+                s.search(
+                    q["query_text"], k=int(q.get("k", 10)),
+                    mode=q.get("mode", "bm25"),
+                )
+        yield os.getpid()
+
+    pids = (
+        sc.parallelize(range(n), n)
+        .mapPartitions(prime)
+        .collect()
+    )
+    return {"tasks": n, "workers": len(set(pids))}
+
+
 def search_sharded(
     spark,
     index_dirs: list[str],
@@ -332,7 +420,38 @@ def search_sharded(
     kmap_bc = sc.broadcast(kmap)
 
     def run_task_packed(task):
+        # TNG_SHARDED_PROFILE=<dir>: per-task trace (pid, shard, wall,
+        # searcher-cache hit) appended worker-side — diagnoses task→worker
+        # affinity (a "warm" batch whose tasks land on workers caching a
+        # DIFFERENT shard re-pays the per-process decode) vs true scoring
+        # time. Local-mode / shared-fs diagnostic, same spirit as
+        # TNG_GROUPED_PROFILE.
+        prof_dir = os.environ.get("TNG_SHARDED_PROFILE")
+        if not prof_dir:
+            yield from to_payloads(run_task(task))
+            return
+        import time as _time
+
+        from tesserae_ng_spark.query.search import _SEARCHER_CACHE
+
+        pid = os.getpid()
+        shard = os.path.basename(task[0].rstrip("/"))
+        hit = (task[0], lang) in _SEARCHER_CACHE
+        t0 = _time.time()
         yield from to_payloads(run_task(task))
+        with open(os.path.join(prof_dir, f"task_{pid}_{shard}"), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "pid": pid,
+                        "shard": shard,
+                        "nq": len(task[1]),
+                        "cache_hit": hit,
+                        "wall_s": round(_time.time() - t0, 3),
+                    }
+                )
+                + "\n"
+            )
 
     def merge(pa, pb):
         docs = np.concatenate([pa[0], pb[0]])

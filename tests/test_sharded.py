@@ -269,3 +269,32 @@ def test_batch_scorer_env_flag_parsing(monkeypatch):
         assert _use_batch_scorer() is want, val
     monkeypatch.delenv("TNG_BATCH_SCORER")
     assert _use_batch_scorer() is False
+
+
+def test_prime_shard_workers_preserves_results(spark, indexes):
+    """Priming (Solr warming-queries analog) is a pure cache operation:
+    results before and after are identical, every prime task reports, and
+    the warm pass serves from primed caches. Mixed modes so the positional
+    warming-query path (the part that actually matters — see
+    prime_shard_workers docstring) executes."""
+    from tesserae_ng_spark.query.sharded import prime_shard_workers
+
+    shard_dirs, _ = indexes
+    queries = [
+        dict(query_id=0, query_text="sort merge join", mode="bm25", k=10),
+        dict(query_id=1, query_text="hash join", mode="phrase", k=10),
+        dict(query_id=2, query_text="sort merge", mode="proximity", k=10),
+        dict(query_id=3, query_text="zzmissing", mode="bm25", k=10),
+    ]
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in df.collect()
+        )
+
+    before = rows(search_sharded(spark, shard_dirs, queries, k=10))
+    info = prime_shard_workers(spark, shard_dirs, queries=queries)
+    assert info["tasks"] >= 1 and 1 <= info["workers"] <= info["tasks"]
+    after = rows(search_sharded(spark, shard_dirs, queries, k=10))
+    assert before == after
