@@ -277,6 +277,66 @@ def main():
                 f"{g['n'][0]}+{g['n'][1]} |"
             )
 
+    # Pooled grading (round-6 rule, stated before the pooled runs
+    # executed; VERDICT r5 #7): the round's GRADED value per metric is
+    # the per-level median POOLED across the attempts of the declared
+    # consecutive engine-identical runs. Pool sets are declared here —
+    # (E,F) ran the pre-priming engine; (G,H) run the primed warm-row
+    # semantics (see the warm-row section below) and are therefore NOT
+    # poolable with E/F. tools/protocol_report.py reproduces these
+    # tables from the archives.
+    POOLED_SETS = [
+        (("runE", "runF"), "pre-priming engine (warm row = assignment lottery)"),
+        (("runG", "runH"), "primed warm row (steady-state semantics)"),
+    ]
+
+    def _grade_pooled(tags):
+        by = {2: [], 8: []}
+        for t in tags:
+            path = os.path.join(arch, f"{t}.jsonl")
+            if not os.path.exists(path):
+                return None
+            with open(path) as f:
+                for line in f:
+                    r = json.loads(line)
+                    if not r.get("warmup"):
+                        by[r["cpus"]].append(r)
+        out = {"attempts": (len(by[2]), len(by[8]))}
+        for key in ("docs_per_sec", "queries_per_sec_sharded_warm",
+                    "queries_per_sec_sharded"):
+            a = _median([r[key] for r in by[2]])
+            b = _median([r[key] for r in by[8]])
+            out[key] = (round(a, 2), round(b, 2), round((b / a) / 4.0, 3))
+        return out
+
+    pooled_lines = []
+    for tags, desc in POOLED_SETS:
+        g = _grade_pooled(tags)
+        if g is None:
+            continue
+        pooled_lines += [
+            "",
+            f"### Pooled grading over {' + '.join(tags)} — {desc}",
+            "",
+            f"{g['attempts'][0]} attempts at local[2], {g['attempts'][1]} at "
+            "local[8] (plus one discarded, archived warm-up pair per run), "
+            "pooled per the round-6 rule (stated before these runs "
+            "executed; no steal-based exclusion):",
+            "",
+            "| metric | local[2] pooled median | local[8] pooled median | efficiency | ≥0.8 |",
+            "|---|---|---|---|---|",
+        ]
+        for key, label in [
+            ("docs_per_sec", "index build (docs/sec)"),
+            ("queries_per_sec_sharded_warm", "sharded-batch query, warm (q/s)"),
+            ("queries_per_sec_sharded", "sharded-batch query, cold (q/s)"),
+        ]:
+            a, b, e = g[key]
+            pooled_lines.append(
+                f"| {label} | {a} | {b} | **{e}** | "
+                f"{'**PASS**' if e >= 0.8 else '**FAIL**'} |"
+            )
+
     lines = [
         "# BENCH — measured baseline (two-parallelism scaling protocol)",
         "",
@@ -331,13 +391,43 @@ def main():
         "across bm25_global_topk, decode_full and dense_row_topk in the",
         "expected proportions.",
         "",
-        f"Pass criteria: build-throughput efficiency ≥ 0.8 → "
+        f"Pass criteria — single-run view: build-throughput efficiency ≥ 0.8 → "
         f"{'**PASS**' if build[2] >= 0.8 else '**FAIL**'} ({build[2]:.3f}); "
         f"production (sharded, warm steady-state) query efficiency ≥ 0.8 → "
         f"{'**PASS**' if qshard_w[2] >= 0.8 else '**FAIL**'} ({qshard_w[2]:.3f}). "
+        "The ROUND grades the POOLED medians over the declared pair of "
+        "consecutive engine-identical runs (rule stated before those runs "
+        "executed) — see the pooled tables under 'Round-6 protocol runs' "
+        "below; this single-run line is disclosure. "
         "The warm row is the graded service shape: a query service is "
         "long-running, so per-process decode (the cold delta) amortizes "
         "over its lifetime, and the build row already prices ingest.",
+        "",
+        "### Warm-row semantics from runG onward (stated BEFORE those runs)",
+        "",
+        "tools/profile_sharded_warm.py root-caused the warm row's",
+        "0.625↔0.833 swings across engine-identical runs: Spark assigns",
+        "tasks to reusable python workers from an idle pool with NO",
+        "affinity, so a \"warm\" repeat batch hits a worker's per-process",
+        "searcher/positional caches only by lottery — a warm local[8] pass",
+        "measured 0/8 cache hits (task walls ≈ cold) while local[2]",
+        "converges to all-hit within a pass (each of 2 workers accumulates",
+        "all shards). The graded number was the variance of a random",
+        "permutation, not engine behavior; a bm25-only control showed the",
+        "per-(worker,shard) miss penalty is ENTIRELY positional decode",
+        "state. From runG on, bench.py primes to the deterministic steady",
+        "state first (`sharded.prime_shard_workers`, Solr warming-queries",
+        "semantics: every worker opens every shard and runs the positional",
+        "queries once), disclosing `prime_s`/`prime_workers` and the",
+        "unprimed first repeat as `queries_per_sec_sharded_warm1`.",
+        "`queries_per_sec_sharded_warm` (the graded key) then measures the",
+        "long-running-service steady state its definition always claimed.",
+        "Decomposed steady state on this host (same input): local[2]",
+        "140.5 q/s, local[8] 431 q/s → 0.767 with single-digit-% spread —",
+        "right at the box's LLC-share random-gather ceiling (0.71 control",
+        "below), the honest ceiling this box has for memory-random scoring.",
+        "Runs G+H grade as a pooled pair under this semantic; they are not",
+        "poolable with E/F.",
         "",
         "## Build scaling: what the 2→8 ratio is actually measuring",
         "",
@@ -469,7 +559,7 @@ def main():
         "",
         "| run | build eff | sharded warm eff | 60-q spread @8 | probes | attempts |",
         "|---|---|---|---|---|---|",
-    ] + cross_rows + [
+    ] + cross_rows + pooled_lines + [
         "",
         "Raw bench lines (ALL attempts, both levels — the table grades the",
         "per-metric median per level; full distribution disclosed, also",
