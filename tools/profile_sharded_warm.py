@@ -127,8 +127,6 @@ def main():
     shutil.rmtree(prof_dir, ignore_errors=True)
     os.makedirs(prof_dir)
     env = dict(os.environ, TNG_SHARDED_PROFILE=prof_dir, PYTHONPATH=REPO)
-    import glob as _g  # noqa: F401
-
     for cpus in levels:
         code = CHILD.format(
             repo=REPO, shard_dirs=shard_dirs, cpus=cpus, prof_dir=prof_dir
