@@ -63,8 +63,13 @@ vocab = [(t, d * replicas) for t, d in vocab_rows] + [
 ]
 vocab.sort(key=lambda p: (-p[1], p[0]))
 queries = make_queries(vocab, n=2000, seed=777)
+# mode filters: decompose which workload owns the 2->8 steady-state task
+# inflation (bm25 = candidate gathers + accumulator scatters; positional
+# = position gathers + key merges — the LLC-heaviest slice)
 if os.environ.get("TNG_PROF_BM25_ONLY") == "1":
     queries = [q for q in queries if q["mode"] == "bm25"]
+if os.environ.get("TNG_PROF_POS_ONLY") == "1":
+    queries = [q for q in queries if q["mode"] != "bm25"]
 
 spark = get_spark("prof_sharded", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
 
