@@ -659,6 +659,90 @@ def batch_bm25_hits(
 MIN_QUERIES_PER_SLICE = 16
 
 
+def affinity_slices(
+    queries: list[dict],
+    n_slices: int,
+    lang: str = "en",
+    df: dict[str, int] | None = None,
+) -> list[list[dict]]:
+    """Partition a query batch into ≤ ``n_slices`` slices by TERM AFFINITY:
+    queries sharing their heaviest (max-df) term land in the same slice.
+
+    Why (guide §2.3 "shuffle fewer bytes", applied to the python workers'
+    decode traffic): each slice's worker decodes the UNION of its queries'
+    postings into per-process caches. Contiguous/arbitrary slicing spreads
+    every head term across every slice, so a head term's postings decode
+    once PER WORKER — measured 24.5M postings decoded for a 2000-query
+    Zipf batch at 32 slices where the per-term floor is 0.9M. Anchor-term
+    grouping cuts that to ~9M (2.7×) and, because those decoded arrays are
+    freshly-touched pages, shrinks exactly the per-worker working set that
+    this host's first-touch fault pathology amplifies 10-30× in bad
+    windows (OPTIMIZATION_r07.md).
+
+    Queries keep their per-query results bit-identical — slicing only
+    decides WHICH worker runs a query, never how it is scored.
+
+    ``df``: term → document frequency (exact, e.g. from a driver-side
+    dictionary lookup or sharded phase-1 stats). Without it, the term's
+    occurrence count across the batch is the proxy (Zipf head terms are
+    frequent in real query logs too).
+
+    Balance: greedy LPT over anchor groups with an estimated cost of
+    (per-query Σ df) + (group union df); groups costlier than 2× the
+    average bin are split first so one hot anchor cannot serialize the
+    batch. Deterministic throughout (sorted keys, stable tie-breaks).
+    """
+    n = len(queries)
+    if n == 0 or n_slices <= 1:
+        return [list(queries)] if n else []
+    qterms = [analyze_query(q.get("query_text", ""), lang) for q in queries]
+    if df is None:
+        from collections import Counter
+
+        df = Counter(t for ts in qterms for t in ts)
+    # anchor = heaviest term (deterministic tie-break on the term itself)
+    anchors = [
+        max(ts, key=lambda t: (df.get(t, 0), t)) if ts else ""
+        for ts in qterms
+    ]
+    groups: dict[str, list[int]] = {}
+    for qi, a in enumerate(anchors):
+        groups.setdefault(a, []).append(qi)
+    qcost = [sum(df.get(t, 0) for t in ts) + 64 for ts in qterms]
+
+    def group_cost(idxs: list[int]) -> int:
+        union: set[str] = set()
+        for qi in idxs:
+            union.update(qterms[qi])
+        return sum(qcost[qi] for qi in idxs) + sum(
+            df.get(t, 0) for t in union
+        )
+
+    glist = [(group_cost(g), a, g) for a, g in groups.items()]
+    avg_bin = max(1, sum(c for c, _, _ in glist) // n_slices)
+    split: list[tuple[int, str, list[int]]] = []
+    for c, a, g in glist:
+        if c > 2 * avg_bin and len(g) > 1:
+            parts = min(len(g), -(-c // avg_bin))
+            for j in range(parts):
+                sub = g[j::parts]
+                if sub:
+                    split.append((group_cost(sub), f"{a}#{j}", sub))
+        else:
+            split.append((c, a, g))
+    split.sort(key=lambda x: (-x[0], x[1]))
+    import heapq
+
+    bins: list[list[int]] = [[] for _ in range(n_slices)]
+    heap = [(0, i) for i in range(n_slices)]
+    heapq.heapify(heap)
+    for c, _, g in split:
+        w, i = heapq.heappop(heap)
+        bins[i].extend(g)
+        heapq.heappush(heap, (w + c, i))
+    return [[queries[qi] for qi in b] for b in bins if b]
+
+
 def search_batch(
     spark,
     index_dir: str,
@@ -685,6 +769,21 @@ def search_batch(
             (len(queries) + MIN_QUERIES_PER_SLICE - 1) // MIN_QUERIES_PER_SLICE,
         ),
     )
+    # term-affinity slicing (affinity_slices): exact dfs from a driver-side
+    # dictionary lookup — the driver reaches index storage by construction
+    # (the latency path and sharded phase 1 already read it in-process).
+    # Fallback to batch occurrence counts if the lookup fails.
+    df_est = None
+    if n_slices > 1:
+        try:
+            terms: set[str] = set()
+            for q in queries:
+                terms.update(analyze_query(q.get("query_text", ""), lang))
+            rows = get_searcher(index_dir, lang).reader.lookup(sorted(terms))
+            df_est = {t: int(r["df"]) for t, r in rows.items()}
+        except Exception:
+            df_est = None
+    slices = affinity_slices(queries, n_slices, lang, df=df_est)
 
     def run_part(qs):
         import time as _time
@@ -761,7 +860,13 @@ def search_batch(
             ) as f:
                 f.write(_json.dumps({k2: v for k2, v in _t.items()}))
 
-    rdd = sc.parallelize(queries, n_slices).mapPartitions(run_part)
+    # one slice (a list of queries) per partition: parallelize over the
+    # slice lists keeps the affinity grouping intact across partitions
+    from itertools import chain
+
+    rdd = sc.parallelize(slices, max(1, len(slices))).mapPartitions(
+        lambda parts: run_part(chain.from_iterable(parts))
+    )
     return spark.createDataFrame(
         rdd, "query_id long, rank int, doc_id long, score double"
     )

@@ -333,7 +333,12 @@ def search_sharded(
             (len(queries) + MIN_QUERIES_PER_SLICE - 1) // MIN_QUERIES_PER_SLICE,
         ),
     )
-    slices = [queries[i::n_slices] for i in range(n_slices)]
+    # term-affinity slicing (search.affinity_slices) with the exact global
+    # dfs phase 1 just computed — cuts per-(shard, slice) decode-union
+    # duplication the same way it does in search_batch
+    from tesserae_ng_spark.query.search import affinity_slices
+
+    slices = affinity_slices(queries, n_slices, lang, df=stats.get("df"))
     tasks = [(d, s) for d in index_dirs for s in slices if s]
 
     def run_task(task):
