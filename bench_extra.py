@@ -193,11 +193,12 @@ def main():
         ).persist()
         corpus.count()
         t0 = time.time()
-        build_sharded_indexes(
+        res = build_sharded_indexes(
             spark, corpus, shard_dirs,
             target_postings_per_salt=1 << 14, n_buckets=4,
         )
         out["shards_build_s"] = round(time.time() - t0, 3)
+        out["phases"] = res[0].phases
         corpus.unpersist()
 
     else:

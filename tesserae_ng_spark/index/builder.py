@@ -192,11 +192,18 @@ def build_index(
         from concurrent.futures import ThreadPoolExecutor
 
         max_conc = min(4, len(todo))
+        # divide the 2×cores task budget between the concurrent jobs: each
+        # job alone at 2×parallelism width made max_conc × 2 × cores tiny
+        # tasks (and as many output files) for the same total work
+        width = max(
+            4, spark.sparkContext.defaultParallelism * 2 // max_conc
+        )
         with ThreadPoolExecutor(max_workers=max_conc) as pool:
             futs = {
                 pool.submit(
                     _build_partition, spark, corpus, out_dir, part, n_parts,
                     fp, lang, use_stored_text, with_positions, block_size,
+                    width,
                 ): part
                 for part, fp in todo
             }
@@ -220,6 +227,7 @@ def build_index(
 def _build_partition(
     spark, corpus: DataFrame, out_dir: str, part: int, n_parts: int,
     fingerprint: str, lang, use_stored_text, with_positions, block_size,
+    width: int | None = None,
 ) -> None:
     t0 = time.time()
     corpus_i = corpus.filter(F.pmod(F.xxhash64("url"), F.lit(n_parts)) == part)
@@ -227,7 +235,7 @@ def _build_partition(
     # with NO token-level shuffle and no dl join (build.py). persist() so
     # the analyze UDF runs once for both the docs and postings writes.
     prepared = prepare_docs(
-        corpus_i, lang=lang, use_stored_text=use_stored_text
+        corpus_i, lang=lang, use_stored_text=use_stored_text, width=width
     ).persist()
     try:
         metrics = _write_shard(prepared, out_dir, part, block_size, with_positions)
@@ -323,26 +331,32 @@ def _merge_all(
 
     t_dict = time.time()
     final_posts = spark.read.parquet(f"{out_dir}/postings")
-    term_cf = (
-        spark.read.parquet(f"{out_dir}/shards/postings")
-        .groupBy("term")
-        .agg(F.sum("tf_sum").alias("cf"))
+    # r7: dictionary = ONE scan of the final postings (cf decoded from the
+    # tf payloads — see merge.build_dictionary) and the n_terms/n_blocks
+    # stats ride the SAME write job as an Observation: the old path paid a
+    # second shards-postings scan + join for cf plus a dictionary
+    # read-back job for stats (3 extra actions per merge; ×9 per bench run
+    # counting the 8 sharded merges).
+    from pyspark.sql import Observation
+
+    dict_obs = Observation(f"dict-{os.path.basename(out_dir)}")
+    dictionary = build_dictionary(final_posts, n_buckets).observe(
+        dict_obs,
+        F.count(F.lit(1)).alias("terms"),
+        F.sum("n_blocks").alias("blocks"),
     )
-    dictionary = build_dictionary(final_posts, term_cf, n_buckets)
     dictionary.coalesce(1).sortWithinPartitions("term").write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/dictionary")
 
     # docs stay where the shards wrote them (shards/docs/part=*) — readers
     # fall back there; re-copying terabytes of doc metadata buys nothing
-    dagg = spark.read.parquet(f"{out_dir}/dictionary").agg(
-        F.count("*").alias("terms"), F.sum("n_blocks").alias("blocks")
-    ).collect()[0]
+    dagg = dict_obs.get
     stats = {
         "n_docs": n_docs,
         "avg_dl": avg_dl,
         "total_tokens": total_tokens,
-        "n_terms": dagg["terms"],
+        "n_terms": int(dagg["terms"] or 0),
         "n_blocks": int(dagg["blocks"] or 0),
         "n_buckets": n_buckets,
     }
@@ -355,8 +369,8 @@ def _merge_all(
         n_docs=n_docs,
         avg_dl=avg_dl,
         total_tokens=total_tokens,
-        n_terms=dagg["terms"],
-        n_blocks=int(dagg["blocks"] or 0),
+        n_terms=stats["n_terms"],
+        n_blocks=stats["n_blocks"],
         built_parts=[],
         skipped_parts=[],
         wall_s=0.0,

@@ -438,15 +438,33 @@ def merge_batch_arrow(
     )
 
 
-def build_dictionary(postings: DataFrame, term_stats_cf: DataFrame, n_buckets: int) -> DataFrame:
-    """final blocks (+cf) → DICTIONARY_SCHEMA rows."""
+def build_dictionary(postings: DataFrame, n_buckets: int) -> DataFrame:
+    """final blocks → DICTIONARY_SCHEMA rows in ONE scan of the final
+    postings (r7, guide §2.3/§2.4: aggregate before the shuffle, and drop
+    the second full shards-postings scan + join the old path paid).
+
+    cf per term is recovered by decoding each block's tf varints (a
+    vectorized Arrow-batched pass over the ``tfs`` payload column only):
+    the merge routed every posting to exactly one (term, salt) group
+    (straddlers are filtered to their own salt range), so Σ decoded tf
+    over the FINAL blocks equals the Σ tf_sum over shard blocks the old
+    join supplied — integer-exact, value-identical dictionary rows
+    (pinned in tests/test_build_e2e.py)."""
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def _tf_sum(tfs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [int(varint_decode(b).sum()) for b in tfs], dtype="int64"
+        )
+
     d = postings.groupBy("term").agg(
         F.sum("n_docs").alias("df"),
+        F.sum(_tf_sum("tfs")).alias("cf"),
         F.count("*").cast("int").alias("n_blocks"),
         F.max("block_max_score").alias("max_score"),
     )
     return (
-        d.join(term_stats_cf.select("term", "cf"), "term")
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        d.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
         .select("term", "df", "cf", "max_score", "n_blocks", "bucket")
     )

@@ -163,9 +163,18 @@ def build_sharded_indexes(
                 # doc_id IS xxhash64(url) (build.py), so the shard key is a
                 # plain mod of the column we already carry
                 shard_of = F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+                # cluster by shard before the partitionBy write (guide §6:
+                # small files hurt twice): without it every one of the
+                # 2×cores analysis tasks writes a file into EVERY shard dir
+                # (cores × shards tiny files per table), and the metric
+                # read-backs + 8 per-shard merge scans each re-pay the
+                # file-open cost — measured ~4 s of the fused stage A. The
+                # extra exchange moves compact rows (docs) / compressed
+                # blocks, not html.
                 (
                     docs_table(prepared)
                     .withColumn("shard", shard_of)
+                    .repartition(n_shards, "shard")
                     .write.mode("overwrite")
                     .partitionBy("shard")
                     .parquet(f"{staging}/docs")
@@ -178,7 +187,7 @@ def build_sharded_indexes(
                 # the per-shard merges re-block deterministically
                 blocks = encode_blocks_local(
                     td, block_size=block_size, shard_aware=True
-                )
+                ).repartition(n_shards, "shard")
                 # schemas captured from the DataFrames (not read-back):
                 # an ALL-empty corpus (0 docs, or every doc filtered out)
                 # writes no data files at all, so a read-back would raise
@@ -190,6 +199,22 @@ def build_sharded_indexes(
                     .partitionBy("shard")
                     .parquet(f"{staging}/postings")
                 )
+                # doc metrics straight from the persisted per-doc vectors
+                # — no staging read-back (r7: the file listing + re-read
+                # of the freshly-written docs dirs was ~2 s of the fused
+                # stage A); must run under the persist scope or the whole
+                # analysis chain would re-execute
+                dmet = {
+                    r["shard"]: r
+                    for r in docs_table(prepared)
+                    .withColumn("shard", shard_of)
+                    .groupBy("shard")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_docs"),
+                        F.sum("dl").alias("tokens"),
+                    )
+                    .collect()
+                }
             finally:
                 prepared.unpersist()
 
@@ -204,20 +229,6 @@ def build_sharded_indexes(
                     e.startswith("shard=") for e in os.listdir(root)
                 )
 
-            dmet = (
-                {
-                    r["shard"]: r
-                    for r in spark.read.parquet(f"{staging}/docs")
-                    .groupBy("shard")
-                    .agg(
-                        F.count(F.lit(1)).alias("n_docs"),
-                        F.sum("dl").alias("tokens"),
-                    )
-                    .collect()
-                }
-                if _has_parts(f"{staging}/docs")
-                else {}
-            )
             bmet = (
                 {
                     r["shard"]: r
@@ -280,7 +291,11 @@ def build_sharded_indexes(
             block_size, expected={0: fps[i]},
         )
 
-    with ThreadPoolExecutor(max_workers=min(4, n_shards)) as pool:
+    # 8-wide: per-shard merge jobs are small (a few tasks each), so the
+    # limit is driver-side plan/scheduling latency — overlapping more of
+    # them collapses the two 4-merge waves into one (r7; the union build
+    # keeps 4 because its partition jobs are corpus-wide and memory-heavy)
+    with ThreadPoolExecutor(max_workers=min(8, n_shards)) as pool:
         results = list(pool.map(_merge, range(n_shards)))
     wall = time.time() - t_start
     for i, r in enumerate(results):

@@ -49,5 +49,19 @@ def tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def terms_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) token stream WITHOUT ordinals — for consumers that
+    never read ``pos`` (bm25_exhaustive, math_scores). Skipping the
+    row_number window drops its per-doc exchange + sort from every use of
+    the stream (r7, guide §2.4): downstream groupBys then aggregate
+    map-side before any shuffle instead of shuffling raw tokens first.
+    Row multiset of (doc_id, term) is identical to tokens_df."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)

@@ -188,17 +188,29 @@ def minhash_lsh_pairs(spark, sf):
             )
         ).alias("band", "bucket"),
     )
+    # candidate pairs via ONE groupBy + in-bucket combination expansion
+    # instead of the former band self-join (r7, guide §4.4/§2.4): the
+    # self-join evaluated the minhash UDF on BOTH branches (two full
+    # ArrowEvalPython passes over every document) and shuffled the bands
+    # table twice. Grouping by (band, bucket) computes signatures once;
+    # each bucket's sorted doc list expands to its (a < b) pairs with a
+    # JVM higher-order expression. Pair SET is identical: same docs share
+    # a bucket, array_sort gives the same a < b orientation, and the
+    # cross-band distinct is unchanged.
     cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
+        bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
         .select(
-            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
         )
+        .select("p.a", "p.b")
         .distinct()
     )
     # exact verify on candidates only (token-set Jaccard ≥ 0.5)

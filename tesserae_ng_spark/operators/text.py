@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tesserae_ng_spark.operators import register
-from tesserae_ng_spark.operators.common import TOKS_CTE, t, tokens_df
+from tesserae_ng_spark.operators.common import TOKS_CTE, t, terms_df, tokens_df
 
 # Frequent terms at sf0.01 (vocab is ~31 terms): used as fixed oracle params.
 TERM_A = "join"
@@ -267,7 +267,9 @@ _BM25_TERMS = "', '".join(BM25_QUERY)
 def math_scores(spark, sf):
     from tesserae_ng_spark.query.bm25_oracle import idf_expr, tf_norm_expr
 
-    toks = tokens_df(spark, sf)
+    # pos-free token stream: this plan never reads `pos`, so the
+    # row_number window (exchange + sort per subtree) is pure waste (r7)
+    toks = terms_df(spark, sf)
     stats = toks.agg(
         F.countDistinct("doc_id").cast("double").alias("n_docs"),
         (F.count("*") / F.countDistinct("doc_id")).alias("avg_dl"),
@@ -322,7 +324,11 @@ def bm25_exhaustive(spark, sf):
     # Flagship: exhaustive BM25 top-20 as one declarative plan. The summed
     # per-term partials match DuckDB bit-wise closely enough that ROUND(.,6)
     # hashes identically; ranks are fully deterministic via the tie-break.
-    toks = tokens_df(spark, sf)
+    # pos-free token stream: bm25 never reads `pos`; dropping the
+    # row_number window removes its exchange + sort from all three
+    # subtrees (stats/dl/tf) and lets every groupBy partial-aggregate
+    # before its shuffle (r7, guide §2.4)
+    toks = terms_df(spark, sf)
     stats = toks.agg(
         F.countDistinct("doc_id").cast("double").alias("n_docs"),
         (F.count("*") / F.countDistinct("doc_id")).alias("avg_dl"),
