@@ -46,6 +46,11 @@ def varint_encode(values: np.ndarray) -> bytes:
 # re-faulting is the one cost that degrades superlinearly with co-located
 # workers on lazily-backed VMs (BENCH/BASELINE.md fault traces). Buffers
 # only grow; keys are internal to this function, nothing escapes.
+# SINGLE-THREAD CONTRACT (ADVICE r6): the pool is per-process and NOT
+# thread-safe — concurrent encoders in one process would corrupt each
+# other's scratch. Safe under Spark python workers (one task thread per
+# process); a multi-threaded host application must serialize encodes or
+# fork per thread.
 _SCRATCH: dict = {}
 
 

@@ -438,10 +438,13 @@ def encode_blocks_local(
         if prof:
             import json as _json
 
-            with open(
-                f"/tmp/tng_encode_prof_{_os.getpid()}_{int(_time.time()*1000)}.json",
-                "w",
-            ) as f:
+            import tempfile as _tf
+
+            fd, _ = _tf.mkstemp(
+                prefix=f"tng_encode_prof_{_os.getpid()}_", suffix=".json",
+                dir=_os.environ.get("TNG_PROFILE_DIR") or None,
+            )  # mkstemp = O_EXCL private file (ADVICE r6)
+            with _os.fdopen(fd, "w") as f:
                 f.write(_json.dumps({
                     "pid": _os.getpid(),
                     "wall_s": round(_time.time() - t_open, 3),

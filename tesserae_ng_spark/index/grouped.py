@@ -242,10 +242,13 @@ def grouped_arrow_sorted(
         if prof:
             import json as _json
 
-            with open(
-                f"/tmp/tng_grouped_prof_{os.getpid()}_{int(time.time()*1000)}.json",
-                "w",
-            ) as f:
+            import tempfile as _tf
+
+            fd, _ = _tf.mkstemp(
+                prefix=f"tng_grouped_prof_{os.getpid()}_", suffix=".json",
+                dir=os.environ.get("TNG_PROFILE_DIR") or None,
+            )  # mkstemp = O_EXCL private file (ADVICE r6)
+            with os.fdopen(fd, "w") as f:
                 f.write(_json.dumps({
                     "pid": os.getpid(), "wall_s": round(time.time() - t_open, 3),
                     "body_s": round(body_s, 3), "rows_in": rows_in,

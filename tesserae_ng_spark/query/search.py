@@ -854,10 +854,13 @@ def search_batch(
             _t["pid"] = os.getpid()
             _t["wall_s"] = _time.time() - _t["t_start"]
             _t["q_times"] = _qtimes
-            with open(
-                f"/tmp/tng_batch_prof_{os.getpid()}_{int(_time.time()*1000)}.json",
-                "w",
-            ) as f:
+            import tempfile as _tf
+
+            fd, _ = _tf.mkstemp(
+                prefix=f"tng_batch_prof_{os.getpid()}_", suffix=".json",
+                dir=os.environ.get("TNG_PROFILE_DIR") or None,
+            )  # mkstemp = O_EXCL private file (ADVICE r6)
+            with os.fdopen(fd, "w") as f:
                 f.write(_json.dumps({k2: v for k2, v in _t.items()}))
 
     # one slice (a list of queries) per partition: parallelize over the
