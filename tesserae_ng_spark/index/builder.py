@@ -105,7 +105,6 @@ def _write_shard(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("tokens"),
     )
-    docs.write.mode("overwrite").parquet(f"{out_dir}/shards/docs/part={part}")
 
     td_dl = term_doc_table(prepared)
     if not with_positions:
@@ -123,9 +122,26 @@ def _write_shard(
         F.approx_count_distinct("term").alias("terms"),
         F.sum(F.crc32(F.col("doc_ids"))).alias("crc"),
     )
-    blocks.write.mode("overwrite").parquet(
-        f"{out_dir}/shards/postings/part={part}"
-    )
+    # both writes consume the persisted `prepared`; submit them
+    # concurrently (r7, guide §2.6): the cache's per-block locks make the
+    # first job materialize each partition while the other waits, so the
+    # analyzer chain runs once and the docs job back-fills the encode
+    # job's tail instead of serializing after it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_docs = pool.submit(
+            lambda: docs.write.mode("overwrite").parquet(
+                f"{out_dir}/shards/docs/part={part}"
+            )
+        )
+        f_blocks = pool.submit(
+            lambda: blocks.write.mode("overwrite").parquet(
+                f"{out_dir}/shards/postings/part={part}"
+            )
+        )
+        f_docs.result()
+        f_blocks.result()
     d, b = doc_obs.get, blk_obs.get
     return {
         "row_count": int(d["n_docs"] or 0),
@@ -216,6 +232,7 @@ def build_index(
     result = _merge_all(
         spark, out_dir, target_postings_per_salt, n_buckets, block_size,
         expected=expected,
+        merge_width=spark.sparkContext.defaultParallelism,
     )
     result.built_parts = built
     result.skipped_parts = skipped
@@ -256,6 +273,7 @@ def _build_partition(
 def _merge_all(
     spark, out_dir: str, target_postings_per_salt: int, n_buckets: int,
     block_size: int, expected: dict[int, str] | None = None,
+    merge_width: int | None = None,
 ) -> BuildResult:
     manifests = [
         m
@@ -312,6 +330,10 @@ def _merge_all(
         target_postings_per_salt=target_postings_per_salt,
         block_size=block_size,
         n_buckets=n_buckets,
+        # widen the merge exchange past n_buckets when cores allow (the
+        # sharded per-shard merges run many _merge_alls concurrently and
+        # pass no width — their combined tasks already fill the cores)
+        merge_width=merge_width,
     )
     postings = postings.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")

@@ -78,6 +78,7 @@ def merge_shard_blocks(
     k1: float = BM25_K1,
     b: float = BM25_B,
     n_buckets: int | None = None,
+    merge_width: int | None = None,
 ) -> DataFrame:
     """shard block rows → final POSTINGS_SCHEMA rows (scored, re-blocked).
 
@@ -144,9 +145,28 @@ def merge_shard_blocks(
             "_bucket",
             F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
         )
+        part_cols = ["_bucket"]
+        n_parts = n_buckets
+        if merge_width and merge_width > n_buckets:
+            # n_buckets caps merge parallelism (it IS the exchange key);
+            # when the caller has more cores than buckets, sub-split each
+            # bucket with an INDEPENDENT term hash (same-hash mod would
+            # correlate with _bucket and collapse the combinations) — the
+            # write still lands rows in their bucket dir, just as a few
+            # files per bucket instead of one (r7, guide §2.5: more
+            # distinct partition values than partitions)
+            sub = -(-merge_width // n_buckets)  # ceil
+            routed = routed.withColumn(
+                "_sub",
+                F.pmod(
+                    F.xxhash64(F.col("term"), F.lit(1)), F.lit(sub)
+                ).cast("int"),
+            )
+            part_cols = ["_bucket", "_sub"]
+            n_parts = merge_width
         return grouped_arrow_sorted(
             routed, ["term", "salt"], merge_batch, POSTINGS_SCHEMA,
-            n_parts=n_buckets, partition_cols=["_bucket"],
+            n_parts=n_parts, partition_cols=part_cols,
             max_rows=MERGE_BATCH_MAX_ROWS,
         )
     return grouped_arrow_sorted(

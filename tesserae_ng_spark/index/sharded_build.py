@@ -171,14 +171,7 @@ def build_sharded_indexes(
                 # file-open cost — measured ~4 s of the fused stage A. The
                 # extra exchange moves compact rows (docs) / compressed
                 # blocks, not html.
-                (
-                    docs_table(prepared)
-                    .withColumn("shard", shard_of)
-                    .repartition(n_shards, "shard")
-                    .write.mode("overwrite")
-                    .partitionBy("shard")
-                    .parquet(f"{staging}/docs")
-                )
+                docs = docs_table(prepared).withColumn("shard", shard_of)
                 td = term_doc_table(prepared).withColumn("shard", shard_of)
                 if not with_positions:
                     td = td.withColumn("positions", F.lit(None).cast("binary"))
@@ -194,27 +187,52 @@ def build_sharded_indexes(
                 # "unable to infer schema" before any per-shard handling
                 docs_schema = docs_table(prepared).schema
                 posts_schema = blocks.drop("shard").schema
-                (
-                    blocks.write.mode("overwrite")
-                    .partitionBy("shard")
-                    .parquet(f"{staging}/postings")
-                )
-                # doc metrics straight from the persisted per-doc vectors
-                # — no staging read-back (r7: the file listing + re-read
-                # of the freshly-written docs dirs was ~2 s of the fused
-                # stage A); must run under the persist scope or the whole
-                # analysis chain would re-execute
-                dmet = {
-                    r["shard"]: r
-                    for r in docs_table(prepared)
-                    .withColumn("shard", shard_of)
-                    .groupBy("shard")
-                    .agg(
-                        F.count(F.lit(1)).alias("n_docs"),
-                        F.sum("dl").alias("tokens"),
+
+                # the three stage-A actions share the persisted `prepared`
+                # and are independent — submit them concurrently (guide
+                # §2.6 "overlap independent jobs"): the cache's per-block
+                # locks make whichever job arrives first materialize each
+                # partition while the others wait, so the analyzer chain
+                # still runs exactly once and the small jobs back-fill the
+                # big one's straggler tail.
+                from concurrent.futures import ThreadPoolExecutor
+
+                def _w_docs():
+                    (
+                        docs.repartition(n_shards, "shard")
+                        .write.mode("overwrite")
+                        .partitionBy("shard")
+                        .parquet(f"{staging}/docs")
                     )
-                    .collect()
-                }
+
+                def _w_blocks():
+                    (
+                        blocks.write.mode("overwrite")
+                        .partitionBy("shard")
+                        .parquet(f"{staging}/postings")
+                    )
+
+                def _doc_metrics():
+                    # from the persisted per-doc vectors — no staging
+                    # read-back (the file listing + re-read of the
+                    # freshly-written docs dirs was ~2 s of stage A)
+                    return {
+                        r["shard"]: r
+                        for r in docs.groupBy("shard")
+                        .agg(
+                            F.count(F.lit(1)).alias("n_docs"),
+                            F.sum("dl").alias("tokens"),
+                        )
+                        .collect()
+                    }
+
+                with ThreadPoolExecutor(max_workers=3) as pool:
+                    f_docs = pool.submit(_w_docs)
+                    f_blocks = pool.submit(_w_blocks)
+                    f_dmet = pool.submit(_doc_metrics)
+                    f_docs.result()
+                    f_blocks.result()
+                    dmet = f_dmet.result()
             finally:
                 prepared.unpersist()
 

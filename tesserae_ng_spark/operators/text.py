@@ -246,6 +246,28 @@ def tesserae_pair_score(spark, sf):
 # ---------------------------------------------------------------------------
 _BM25_TERMS = "', '".join(BM25_QUERY)
 
+
+def _shared_bm25_aggs(spark, sf):
+    """(td, dl, stats) for the BM25 plans, all derived from ONE
+    (doc_id, term) aggregate so the token explode runs once (the identical
+    td exchange is AQE-reused across the branches; r7, guide §2.4).
+
+    Integer-exact equivalences to the per-subtree originals:
+    tf = count per (doc_id, term); dl = Σ tf per doc (= token count);
+    n_docs = |dl rows| (= countDistinct doc_id); total tokens = Σ dl
+    (= count(*) over tokens); avg_dl = their double quotient."""
+    td = (
+        terms_df(spark, sf)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = td.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avg_dl"),
+    )
+    return td, dl, stats
+
 @register(
     "math_scores",
     f"""WITH {TOKS_CTE},
@@ -267,18 +289,14 @@ _BM25_TERMS = "', '".join(BM25_QUERY)
 def math_scores(spark, sf):
     from tesserae_ng_spark.query.bm25_oracle import idf_expr, tf_norm_expr
 
-    # pos-free token stream: this plan never reads `pos`, so the
-    # row_number window (exchange + sort per subtree) is pure waste (r7)
-    toks = terms_df(spark, sf)
-    stats = toks.agg(
-        F.countDistinct("doc_id").cast("double").alias("n_docs"),
-        (F.count("*") / F.countDistinct("doc_id")).alias("avg_dl"),
-    )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    tf = (
-        toks.filter(F.col("term").isin(BM25_QUERY))
-        .groupBy("term", "doc_id")
-        .agg(F.count("*").alias("tf"))
+    # shared (doc_id, term) aggregate (r7, guide §2.4): stats/dl/tf all
+    # derive from ONE td exchange (AQE reuses the identical subplan), so
+    # the scan + explode run once instead of once per subtree. Values are
+    # integer-exact equal: dl = Σ tf per doc, n_docs = |dl|, total tokens
+    # = Σ dl. Hash-verified vs the DuckDB oracle (tools/check_oracle.py).
+    td, dl, stats = _shared_bm25_aggs(spark, sf)
+    tf = td.filter(F.col("term").isin(BM25_QUERY)).select(
+        "term", "doc_id", "tf"
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     return (
@@ -324,20 +342,11 @@ def bm25_exhaustive(spark, sf):
     # Flagship: exhaustive BM25 top-20 as one declarative plan. The summed
     # per-term partials match DuckDB bit-wise closely enough that ROUND(.,6)
     # hashes identically; ranks are fully deterministic via the tie-break.
-    # pos-free token stream: bm25 never reads `pos`; dropping the
-    # row_number window removes its exchange + sort from all three
-    # subtrees (stats/dl/tf) and lets every groupBy partial-aggregate
-    # before its shuffle (r7, guide §2.4)
-    toks = terms_df(spark, sf)
-    stats = toks.agg(
-        F.countDistinct("doc_id").cast("double").alias("n_docs"),
-        (F.count("*") / F.countDistinct("doc_id")).alias("avg_dl"),
-    )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    tf = (
-        toks.filter(F.col("term").isin(BM25_QUERY))
-        .groupBy("term", "doc_id")
-        .agg(F.count("*").alias("tf"))
+    # Shared (doc_id, term) aggregate (r7): see math_scores — one reused
+    # exchange feeds stats/dl/tf instead of three scan+explode subtrees.
+    td, dl, stats = _shared_bm25_aggs(spark, sf)
+    tf = td.filter(F.col("term").isin(BM25_QUERY)).select(
+        "term", "doc_id", "tf"
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     from tesserae_ng_spark.query.bm25_oracle import idf_expr, tf_norm_expr
