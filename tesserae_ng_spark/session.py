@@ -81,4 +81,41 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_jvm(spark)
     return spark
+
+
+_JVM_WARMED = False
+
+
+def _warm_jvm(spark) -> None:
+    """One-time JVM warm-up at session open (r7, guide §7.3 diagnosis).
+
+    Driver thread dumps showed the FIRST collation-aware string expression
+    in a JVM blocking every scan task on the CollationAwareUTF8String
+    class-initialization monitor while ICU loads its case-map tables from
+    the jar (seconds on a cold page cache with this sandbox's ~6 MB/s
+    disk), and the first few whole-stage-codegen stages compiling janino
+    cold (C2 itself still compiling the compiler). Both are per-JVM
+    one-time costs that otherwise land inside whichever query happens to
+    run first. One tiny query at session open (computes nothing from any
+    input, caches nothing) moves them to initialization, where they
+    belong. Skipped on subsequent sessions in the same JVM."""
+    global _JVM_WARMED
+    if _JVM_WARMED:
+        return
+    _JVM_WARMED = True
+    try:
+        (
+            spark.range(2)
+            .selectExpr(
+                "id", "lower('Éa') || upper('éA') || initcap('é b') AS s"
+            )
+            .groupBy("s")
+            .count()
+            .orderBy("count")
+            .limit(1)
+            .collect()
+        )
+    except Exception:
+        pass  # warm-up is best-effort, never session-fatal
