@@ -303,6 +303,13 @@ def term_rows_scores(
     idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
     scores = idf * tfs / (tfs + k1 * (1.0 - b + b * dls / avg_dl))
     rows = np.searchsorted(global_docs, ids)
+    if global_docs.size <= np.iinfo(np.int32).max:
+        # int32 row indices (r7): exact for any per-node index (row <
+        # n_docs < 2^31), and the cached (rows, scores) pair is the
+        # scorer's per-worker hot set — 16 → 12 B/posting shrinks the
+        # freshly-touched pages the batch path re-faults in degraded
+        # windows. numpy fancy-indexing accepts int32 unchanged.
+        rows = rows.astype(np.int32)
     # validate the mapping once per term: if the docs table and the
     # postings drifted (stale-shard merge, docs read from a different
     # build), searchsorted would scatter scores into the WRONG doc rows
